@@ -1,0 +1,85 @@
+"""Static simulation configuration.
+
+The reference engine's only configuration is compile-time (`NUDGE_SIMDV_WIDTH`,
+SURVEY.md C16) plus per-call arguments (dt, iteration count chosen by the demo's
+step loop, SURVEY.md §3.A). Here every capacity and solver knob lives in one
+hashable frozen dataclass so it can be a `jax.jit` static argument: capacities
+become static array shapes (they replace the reference's caller-sized `Arena`
+and SoA capacities, `nudge.h` — SURVEY.md C1/C3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Collider-index pair keys are packed as a * PAIR_SHIFT + b (a < b), which must
+# fit an int32 — mirrors the reference's uint16 body-index cap (BodyPair,
+# `nudge.h` [MED]) scaled up to 32 Ki colliders.
+PAIR_SHIFT = 1 << 15
+MAX_COLLIDERS = PAIR_SHIFT
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All static knobs. Hashable; pass as a jit static argument."""
+
+    # --- capacities (static shapes; replace the reference Arena, SURVEY C3) ---
+    max_bodies: int = 64
+    max_boxes: int = 64
+    max_spheres: int = 0
+    # candidate-pair capacities per narrowphase class (SURVEY C5 output)
+    max_box_box_pairs: int = 256
+    max_box_sphere_pairs: int = 0
+    max_sphere_sphere_pairs: int = 0
+    # compacted contact-point capacity (SURVEY C1 ContactData.capacity analog)
+    max_contacts: int = 1024
+    # user-filtered pair list capacity (BodyConnections, SURVEY C14)
+    max_connections: int = 0
+
+    # --- time stepping ---
+    dt: float = 1.0 / 60.0
+    gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+
+    # --- solver (SURVEY C10/C11) ---
+    solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
+    max_colors: int = 16            # greedy manifold coloring rounds (SURVEY §7 M3)
+    baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
+    slop: float = 0.005             # allowed penetration before bias kicks in
+    friction: float = 0.5           # default Coulomb friction if collider has none
+    restitution: float = 0.0        # reference has none [MED]; kept as a knob
+    warm_start: bool = True
+
+    # --- broadphase ---
+    aabb_margin: float = 0.02       # fattening so near-touching pairs persist
+    broadphase: str = "auto"        # "allpairs" | "grid" | "auto"
+    grid_cell: float = 0.0          # 0 => derived from max collider extent
+
+    # --- sleeping (SURVEY C13) ---
+    sleeping: bool = False
+    sleep_lin_vel: float = 0.05     # |v| threshold
+    sleep_ang_vel: float = 0.10     # |ω| threshold
+    sleep_frames: int = 60          # idle frames before a body may sleep
+    island_sweeps: int = 8          # label-propagation rounds for island grouping
+
+    def __post_init__(self):
+        if self.max_boxes + self.max_spheres > MAX_COLLIDERS:
+            raise ValueError(
+                f"total collider capacity {self.max_boxes + self.max_spheres} "
+                f"exceeds pair-key limit {MAX_COLLIDERS}"
+            )
+
+    @property
+    def num_colliders(self) -> int:
+        return self.max_boxes + self.max_spheres
+
+    @property
+    def total_pairs(self) -> int:
+        return (
+            self.max_box_box_pairs
+            + self.max_box_sphere_pairs
+            + self.max_sphere_sphere_pairs
+        )
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,33 @@
+"""Symplectic Euler integration (reference: nudge::advance(), SURVEY.md C12/§3.D).
+
+The reference advances only the ActiveBodies index list; here every body slot
+is advanced under a mask (dynamic AND awake) — identical semantics, no
+compaction, fully vectorized.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..mathx import quat_integrate
+from ..state import Bodies, SleepState
+
+
+def apply_gravity(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
+    """v += g·dt on dynamic awake bodies. The reference demo folds gravity into
+    the per-frame velocity update before the solve [MED]; doing it pre-solve is
+    required so resting contacts cancel gravity each frame."""
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    move = (bodies.dynamic & sleep.awake)[:, None]
+    return bodies.replace(vel=jnp.where(move, bodies.vel + g * cfg.dt, bodies.vel))
+
+
+def advance(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
+    """x += v·dt; q = normalize(q + ½·dt·ω⊗q) on dynamic awake bodies."""
+    move = (bodies.dynamic & sleep.awake)[:, None]
+    pos = jnp.where(move, bodies.pos + bodies.vel * cfg.dt, bodies.pos)
+    quat = jnp.where(
+        move, quat_integrate(bodies.quat, bodies.angvel, cfg.dt), bodies.quat
+    )
+    return bodies.replace(pos=pos, quat=quat)

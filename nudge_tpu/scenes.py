@@ -1,0 +1,300 @@
+"""Host-side scene construction.
+
+The reference demo builds its scene by filling caller-owned SoA arrays directly
+(`demo/main.cpp` make_box/make_sphere-style helpers, SURVEY.md C15). Here a
+small numpy builder assembles the same data and ships it to the device once —
+the only host->device transfer in a simulation's lifetime (SURVEY.md §3.E).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .mathx import quat_identity
+from .state import (
+    Bodies, Boxes, ContactCache, SimState, SleepState, Spheres,
+)
+
+
+def box_inertia_inv(mass: float, half: np.ndarray) -> np.ndarray:
+    """Inverse diagonal inertia of a solid box with half extents `half`."""
+    hx, hy, hz = half
+    ix = mass / 3.0 * (hy * hy + hz * hz)
+    iy = mass / 3.0 * (hx * hx + hz * hz)
+    iz = mass / 3.0 * (hx * hx + hy * hy)
+    return 1.0 / np.array([ix, iy, iz], np.float32)
+
+
+def sphere_inertia_inv(mass: float, radius: float) -> np.ndarray:
+    i = 0.4 * mass * radius * radius
+    return np.full(3, 1.0 / i, np.float32)
+
+
+class SceneBuilder:
+    """Accumulates bodies/colliders in numpy; `finalize(cfg)` pads to the
+    config's static capacities and returns a device SimState."""
+
+    def __init__(self):
+        self.pos, self.quat, self.vel, self.angvel = [], [], [], []
+        self.inv_mass, self.inv_inertia = [], []
+        self.box_body, self.box_half, self.box_lpos, self.box_lquat = [], [], [], []
+        self.box_friction, self.box_tag = [], []
+        self.sph_body, self.sph_radius, self.sph_lpos = [], [], []
+        self.sph_friction, self.sph_tag = [], []
+        self.connections = []
+
+    # -- bodies ------------------------------------------------------------
+    def add_body(self, pos, quat=(0, 0, 0, 1), vel=(0, 0, 0), angvel=(0, 0, 0),
+                 inv_mass=0.0, inv_inertia=(0, 0, 0)) -> int:
+        idx = len(self.pos)
+        self.pos.append(np.asarray(pos, np.float32))
+        self.quat.append(np.asarray(quat, np.float32))
+        self.vel.append(np.asarray(vel, np.float32))
+        self.angvel.append(np.asarray(angvel, np.float32))
+        self.inv_mass.append(np.float32(inv_mass))
+        self.inv_inertia.append(np.asarray(inv_inertia, np.float32))
+        return idx
+
+    # -- colliders ---------------------------------------------------------
+    def attach_box(self, body: int, half, lpos=(0, 0, 0), lquat=(0, 0, 0, 1),
+                   friction=None, tag=0) -> int:
+        idx = len(self.box_body)
+        self.box_body.append(body)
+        self.box_half.append(np.asarray(half, np.float32))
+        self.box_lpos.append(np.asarray(lpos, np.float32))
+        self.box_lquat.append(np.asarray(lquat, np.float32))
+        self.box_friction.append(-1.0 if friction is None else float(friction))
+        self.box_tag.append(tag)
+        return idx
+
+    def attach_sphere(self, body: int, radius, lpos=(0, 0, 0),
+                      friction=None, tag=0) -> int:
+        idx = len(self.sph_body)
+        self.sph_body.append(body)
+        self.sph_radius.append(np.float32(radius))
+        self.sph_lpos.append(np.asarray(lpos, np.float32))
+        self.sph_friction.append(-1.0 if friction is None else float(friction))
+        self.sph_tag.append(tag)
+        return idx
+
+    # -- convenience: body + collider in one call ---------------------------
+    def add_box(self, half, pos, quat=(0, 0, 0, 1), mass=1.0, vel=(0, 0, 0),
+                angvel=(0, 0, 0), friction=None, tag=0) -> int:
+        half = np.asarray(half, np.float32)
+        body = self.add_body(pos, quat, vel, angvel, 1.0 / mass,
+                             box_inertia_inv(mass, half))
+        self.attach_box(body, half, friction=friction, tag=tag)
+        return body
+
+    def add_sphere(self, radius, pos, mass=1.0, vel=(0, 0, 0), angvel=(0, 0, 0),
+                   friction=None, tag=0) -> int:
+        body = self.add_body(pos, (0, 0, 0, 1), vel, angvel, 1.0 / mass,
+                             sphere_inertia_inv(mass, radius))
+        self.attach_sphere(body, radius, friction=friction, tag=tag)
+        return body
+
+    def add_static_box(self, half, pos, quat=(0, 0, 0, 1), friction=None,
+                       tag=0) -> int:
+        body = self.add_body(pos, quat)
+        self.attach_box(body, half, friction=friction, tag=tag)
+        return body
+
+    def connect(self, body_a: int, body_b: int):
+        """Suppress contacts between two bodies (BodyConnections, SURVEY C14)."""
+        self.connections.append((body_a, body_b))
+
+    # -- sizing ------------------------------------------------------------
+    @property
+    def num_bodies(self):
+        return len(self.pos)
+
+    def auto_config(self, pairs_per_box: float = 8.0, **overrides) -> SimConfig:
+        """A SimConfig sized for this scene with headroom. Pair/contact caps
+        scale with collider counts (dense-pile heuristic)."""
+        nb, nbx, nsp = len(self.pos), len(self.box_body), len(self.sph_body)
+
+        def cap(x, lo=16):
+            x = max(int(x), lo)
+            return -(-x // 8) * 8  # round up to 8
+
+        n_small = nbx + nsp <= 64
+        bb = cap(nbx * (nbx - 1) // 2 if n_small else nbx * pairs_per_box)
+        bs = cap(nbx * nsp if n_small else (nbx + nsp) * pairs_per_box / 2,
+                 lo=8 if nsp else 0) if nsp else 0
+        ss = cap(nsp * (nsp - 1) // 2 if n_small else nsp * pairs_per_box / 2,
+                 lo=8 if nsp else 0) if nsp else 0
+        kw = dict(
+            max_bodies=cap(nb, lo=8),
+            max_boxes=cap(nbx, lo=8),
+            max_spheres=cap(nsp, lo=0) if nsp else 0,
+            max_box_box_pairs=bb,
+            max_box_sphere_pairs=bs,
+            max_sphere_sphere_pairs=ss,
+            max_contacts=cap(4 * bb + bs + ss),
+            max_connections=len(self.connections),
+        )
+        kw.update(overrides)
+        return SimConfig(**kw)
+
+    # -- finalize ----------------------------------------------------------
+    def finalize(self, cfg: SimConfig) -> SimState:
+        nb, nbx, nsp = len(self.pos), len(self.box_body), len(self.sph_body)
+        if nb > cfg.max_bodies:
+            raise ValueError(f"{nb} bodies > capacity {cfg.max_bodies}")
+        if nbx > cfg.max_boxes:
+            raise ValueError(f"{nbx} boxes > capacity {cfg.max_boxes}")
+        if nsp > cfg.max_spheres and nsp > 0:
+            raise ValueError(f"{nsp} spheres > capacity {cfg.max_spheres}")
+
+        def pad(rows, n, fill, width=None):
+            rows = np.asarray(rows, np.float32) if rows else \
+                np.zeros((0,) if width is None else (0, width), np.float32)
+            shape = (n,) + rows.shape[1:]
+            out = np.full(shape, fill, rows.dtype)
+            out[: len(rows)] = rows
+            return out
+
+        def padi(rows, n, fill=-1):
+            out = np.full((n,) + np.shape(rows)[1:] if rows else (n,), fill,
+                          np.int32)
+            if rows:
+                out[: len(rows)] = np.asarray(rows, np.int32)
+            return out
+
+        quat_pad = pad(self.quat, cfg.max_bodies, 0.0, width=4)
+        quat_pad[nb:, 3] = 1.0
+        lquat_pad = pad(self.box_lquat, cfg.max_boxes, 0.0, width=4)
+        lquat_pad[nbx:, 3] = 1.0
+
+        def frict(vals, n):
+            f = pad(vals, n, cfg.friction)
+            f[f < 0] = cfg.friction
+            return f
+
+        ns = max(cfg.max_spheres, 1)
+        nc = max(cfg.max_connections, 1)
+        conn = np.full((nc, 2), -1, np.int32)
+        if self.connections:
+            conn[: len(self.connections)] = np.asarray(self.connections, np.int32)
+
+        c = cfg.max_contacts
+        return SimState(
+            bodies=Bodies(
+                pos=jnp.asarray(pad(self.pos, cfg.max_bodies, 0.0, width=3)),
+                quat=jnp.asarray(quat_pad),
+                vel=jnp.asarray(pad(self.vel, cfg.max_bodies, 0.0, width=3)),
+                angvel=jnp.asarray(pad(self.angvel, cfg.max_bodies, 0.0, width=3)),
+                inv_mass=jnp.asarray(pad(self.inv_mass, cfg.max_bodies, 0.0)),
+                inv_inertia=jnp.asarray(
+                    pad(self.inv_inertia, cfg.max_bodies, 0.0, width=3)),
+            ),
+            boxes=Boxes(
+                body=jnp.asarray(padi(self.box_body, cfg.max_boxes)),
+                half=jnp.asarray(pad(self.box_half, cfg.max_boxes, 1.0, width=3)),
+                lpos=jnp.asarray(pad(self.box_lpos, cfg.max_boxes, 0.0, width=3)),
+                lquat=jnp.asarray(lquat_pad),
+                friction=jnp.asarray(frict(self.box_friction, cfg.max_boxes)),
+                tag=jnp.asarray(padi(self.box_tag, cfg.max_boxes, 0)),
+            ),
+            spheres=Spheres(
+                body=jnp.asarray(padi(self.sph_body, ns)),
+                radius=jnp.asarray(pad(self.sph_radius, ns, 1.0)),
+                lpos=jnp.asarray(pad(self.sph_lpos, ns, 0.0, width=3)),
+                friction=jnp.asarray(frict(self.sph_friction, ns)),
+                tag=jnp.asarray(padi(self.sph_tag, ns, 0)),
+            ),
+            cache=ContactCache(
+                pair=jnp.zeros((c,), jnp.int32),
+                feat=jnp.zeros((c,), jnp.int32),
+                impulse=jnp.zeros((c, 3), jnp.float32),
+                valid=jnp.zeros((c,), bool),
+            ),
+            sleep=SleepState(
+                idle=jnp.zeros((cfg.max_bodies,), jnp.int32),
+                awake=jnp.ones((cfg.max_bodies,), bool),
+            ),
+            connections=jnp.asarray(conn),
+            step_count=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Canonical benchmark scenes (BASELINE.md configs 1-5)
+# ---------------------------------------------------------------------------
+
+GROUND_HALF = (50.0, 0.5, 50.0)
+
+
+def _ground(b: SceneBuilder, friction=0.8):
+    return b.add_static_box(GROUND_HALF, (0.0, -0.5, 0.0), friction=friction)
+
+
+def scene_single_box(drop_height: float = 2.0):
+    """BASELINE config 1: one unit box dropped on static ground."""
+    b = SceneBuilder()
+    _ground(b)
+    b.add_box((0.5, 0.5, 0.5), (0.0, drop_height, 0.0))
+    return b
+
+
+def scene_stack(nx: int = 10, ny: int = 10, nz: int = 10, half: float = 0.5,
+                gap: float = 1e-3):
+    """BASELINE config 2 (stack part): nx×nz columns of ny boxes."""
+    b = SceneBuilder()
+    _ground(b)
+    d = 2 * half + gap
+    for iy in range(ny):
+        for ix in range(nx):
+            for iz in range(nz):
+                b.add_box((half, half, half),
+                          ((ix - (nx - 1) / 2) * d * 1.05,
+                           half + iy * d,
+                           (iz - (nz - 1) / 2) * d * 1.05))
+    return b
+
+
+def scene_pyramid(base: int = 10, half: float = 0.5, gap: float = 1e-3):
+    """BASELINE config 2 (pyramid part)."""
+    b = SceneBuilder()
+    _ground(b)
+    d = 2 * half + gap
+    for layer in range(base):
+        n = base - layer
+        for i in range(n):
+            b.add_box((half, half, half),
+                      ((i - (n - 1) / 2) * d * 1.02,
+                       half + layer * d,
+                       0.0))
+    return b
+
+
+def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
+               seed: int = 0, spacing: float = 1.15):
+    """BASELINE configs 3 & 4: jittered grid of falling bodies above ground.
+    sphere_frac > 0 mixes spheres in (config 3)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    _ground(b)
+    side = int(np.ceil(n_bodies ** (1 / 3)))
+    d = 2 * half * spacing
+    count = 0
+    for iy in range(side * 2):
+        for ix in range(side):
+            for iz in range(side):
+                if count >= n_bodies:
+                    break
+                p = (
+                    (ix - (side - 1) / 2) * d + rng.uniform(-0.1, 0.1) * half,
+                    half * 1.5 + iy * d,
+                    (iz - (side - 1) / 2) * d + rng.uniform(-0.1, 0.1) * half,
+                )
+                if rng.uniform() < sphere_frac:
+                    b.add_sphere(half * 0.9, p)
+                else:
+                    q = np.concatenate([rng.uniform(-0.05, 0.05, 3), [1.0]])
+                    q /= np.linalg.norm(q)
+                    b.add_box((half, half, half), p, quat=q)
+                count += 1
+    return b
