@@ -19,6 +19,10 @@ from typing import Tuple
 PAIR_SHIFT = 1 << 15
 MAX_COLLIDERS = PAIR_SHIFT
 
+# Contact points per manifold (box-box clip output is reduced to this many
+# well-spread points; sphere manifolds use slot 0).
+CONTACT_POINTS = 4
+
 
 @dataclasses.dataclass(frozen=True)
 class SimConfig:
@@ -32,8 +36,9 @@ class SimConfig:
     max_box_box_pairs: int = 256
     max_box_sphere_pairs: int = 0
     max_sphere_sphere_pairs: int = 0
-    # compacted contact-point capacity (SURVEY C1 ContactData.capacity analog)
-    max_contacts: int = 1024
+    # compacted manifold capacity (SURVEY C1 ContactData.capacity analog;
+    # each manifold holds up to CONTACT_POINTS contact points)
+    max_manifolds: int = 256
     # user-filtered pair list capacity (BodyConnections, SURVEY C14)
     max_connections: int = 0
 
@@ -43,7 +48,7 @@ class SimConfig:
 
     # --- solver (SURVEY C10/C11) ---
     solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
-    max_colors: int = 16            # greedy manifold coloring rounds (SURVEY §7 M3)
+    max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
     baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
     slop: float = 0.005             # allowed penetration before bias kicks in
     friction: float = 0.5           # default Coulomb friction if collider has none
@@ -80,6 +85,10 @@ class SimConfig:
             + self.max_box_sphere_pairs
             + self.max_sphere_sphere_pairs
         )
+
+    @property
+    def cache_capacity(self) -> int:
+        return self.max_manifolds * CONTACT_POINTS
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

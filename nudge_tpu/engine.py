@@ -1,0 +1,89 @@
+"""The simulation step: collide -> warm start -> setup -> solve -> advance.
+
+This is the reference demo's canonical step loop (SURVEY.md §3.A) fused into
+one pure, jittable function. Host<->TPU crossings happen only at scene
+construction and optional metric readback (SURVEY §3.E): `simulate` runs whole
+rollouts on-device under `lax.scan` with donated state buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import SimConfig
+from .ops.cache import read_cached_impulses, write_cached_impulses
+from .ops.contacts import collide
+from .ops.integrate import advance, apply_gravity
+from .ops.sleeping import update_sleep
+from .ops.solver import accumulated_world_impulse, setup_constraints, solve
+from .state import SimState
+
+
+@struct.dataclass
+class StepMetrics:
+    """Small per-step observability pytree (SURVEY §5: metrics/logging)."""
+
+    contact_count: jnp.ndarray   # i32
+    max_depth: jnp.ndarray       # f32 max penetration this step
+    spill_count: jnp.ndarray     # i32 contacts past the coloring budget
+    overflow: jnp.ndarray        # bool any capacity exceeded
+    awake_count: jnp.ndarray     # i32 dynamic awake bodies
+    kinetic_energy: jnp.ndarray  # f32 Σ ½|v|²/inv_mass over dynamic bodies
+
+
+def step(state: SimState, cfg: SimConfig):
+    """One simulation step. Returns (new_state, StepMetrics)."""
+    bodies = apply_gravity(state.bodies, state.sleep, cfg)
+
+    contacts = collide(state, cfg)
+    warm = read_cached_impulses(state.cache, contacts)
+    con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
+    bodies, acc = solve(bodies, con, acc, cfg)
+    cache = write_cached_impulses(
+        contacts, accumulated_world_impulse(con, acc)
+    )
+
+    bodies = advance(bodies, state.sleep, cfg)
+    sleep = update_sleep(bodies, contacts, state.sleep, cfg)
+
+    new_state = state.replace(
+        bodies=bodies, cache=cache, sleep=sleep,
+        step_count=state.step_count + 1,
+    )
+
+    dyn = bodies.dynamic
+    ke = 0.5 * jnp.sum(
+        jnp.where(dyn, jnp.sum(bodies.vel ** 2, -1)
+                  / jnp.maximum(bodies.inv_mass, 1e-12), 0.0)
+    )
+    metrics = StepMetrics(
+        contact_count=contacts.contact_count,
+        max_depth=jnp.max(jnp.where(contacts.point_valid, contacts.depth, 0.0)),
+        spill_count=con.spill_count,
+        overflow=contacts.overflow,
+        awake_count=jnp.sum((dyn & sleep.awake).astype(jnp.int32)),
+        kinetic_energy=ke,
+    )
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def _simulate(state: SimState, cfg: SimConfig, steps: int):
+    def f(st, _):
+        return step(st, cfg)
+
+    return jax.lax.scan(f, state, None, length=steps)
+
+
+def simulate(state: SimState, cfg: SimConfig, steps: int):
+    """Run `steps` steps fully on-device. Returns (state, stacked metrics)."""
+    return _simulate(state, cfg, steps)
+
+
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def step_jit(state: SimState, cfg: SimConfig):
+    return step(state, cfg)

@@ -1,0 +1,169 @@
+"""Broadphase: world AABBs + candidate pair generation.
+
+Reference (SURVEY.md C5, call stack §3.B): SIMD AABB computation, radix-sorted
+sweep along one axis, packed u32 candidate pairs partitioned into
+{box-box, box-sphere, sphere-sphere}, BodyConnections filtering.
+
+TPU-native rebuild: AABBs are a trivial batched transform; pair generation is
+a masked all-pairs test compacted to fixed capacity via `jnp.nonzero(size=)`
+(O(N²) mask but tiny FLOPs — fine to a few thousand colliders, SURVEY §7 M1),
+with a sorted-grid path for large scenes added at M4. Overflow sets a flag
+instead of corrupting (SURVEY §4 item 7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import PAIR_SHIFT, SimConfig
+from ..mathx import quat_mul, quat_rotate, quat_to_mat
+from ..state import SimState
+
+
+class WorldColliders(NamedTuple):
+    """Per-step world-space collider transforms (the reference recomputes the
+    same inside collide())."""
+
+    box_pos: jnp.ndarray     # f32[B,3]
+    box_quat: jnp.ndarray    # f32[B,4]
+    box_body: jnp.ndarray    # i32[B]
+    sph_pos: jnp.ndarray     # f32[S,3]
+    sph_body: jnp.ndarray    # i32[S]
+
+
+@struct.dataclass
+class CandidatePairs:
+    """Fixed-capacity candidate pairs for one narrowphase class."""
+
+    a: jnp.ndarray          # i32[P] collider index (first class)
+    b: jnp.ndarray          # i32[P] collider index (second class)
+    valid: jnp.ndarray      # bool[P]
+    count: jnp.ndarray      # i32 true number of candidates (may exceed P)
+
+    @property
+    def overflow(self) -> jnp.ndarray:
+        return self.count > self.a.shape[-1]
+
+
+def world_colliders(state: SimState) -> WorldColliders:
+    bd, bx, sp = state.bodies, state.boxes, state.spheres
+    bq = bd.quat[bx.body]
+    box_quat = quat_mul(bq, bx.lquat)
+    box_pos = bd.pos[bx.body] + quat_rotate(bq, bx.lpos)
+    sph_pos = bd.pos[sp.body] + quat_rotate(bd.quat[sp.body], sp.lpos)
+    return WorldColliders(box_pos, box_quat, bx.body, sph_pos, sp.body)
+
+
+def box_aabbs(half, wpos, wquat, margin: float):
+    """World AABB of oriented boxes: extent_i = Σ_j |R_ij|·half_j (the
+    classic |R|·h trick the reference uses SIMD-wide)."""
+    R = quat_to_mat(wquat)
+    ext = jnp.einsum("...ij,...j->...i", jnp.abs(R), half) + margin
+    return wpos - ext, wpos + ext
+
+
+def sphere_aabbs(radius, wpos, margin: float):
+    ext = (radius + margin)[..., None]
+    return wpos - ext, wpos + ext
+
+
+def _aabb_overlap(lo_a, hi_a, lo_b, hi_b):
+    """[Na,3] x [Nb,3] -> bool[Na,Nb]."""
+    return jnp.all(
+        (lo_a[:, None, :] <= hi_b[None, :, :])
+        & (lo_b[None, :, :] <= hi_a[:, None, :]),
+        axis=-1,
+    )
+
+
+def _connection_mask(body_a, body_b, connections):
+    """bool[...]: True where the body pair is in the user-filtered list
+    (BodyConnections, SURVEY C14)."""
+    ca, cb = connections[:, 0], connections[:, 1]
+    lo = jnp.minimum(body_a, body_b)[..., None]
+    hi = jnp.maximum(body_a, body_b)[..., None]
+    clo = jnp.minimum(ca, cb)[None, :]
+    chi = jnp.maximum(ca, cb)[None, :]
+    return jnp.any((lo == clo) & (hi == chi) & (ca >= 0)[None, :], axis=-1)
+
+
+def _compact_pairs(mask, cap: int, n_cols: int) -> CandidatePairs:
+    flat = mask.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    valid = jnp.arange(cap) < jnp.minimum(count, cap)
+    return CandidatePairs(
+        a=(idx // n_cols).astype(jnp.int32),
+        b=(idx % n_cols).astype(jnp.int32),
+        valid=valid,
+        count=count,
+    )
+
+
+def _pair_filter(bodies, sleep, body_a, body_b, connections):
+    """Common candidate filters: distinct bodies, not both non-moving
+    (static or asleep — reference routes sleeping pairs aside, SURVEY C13),
+    not user-connected."""
+    moving = (bodies.inv_mass > 0.0) & sleep.awake
+    keep = body_a != body_b
+    keep &= moving[body_a] | moving[body_b]
+    keep &= ~_connection_mask(body_a, body_b, connections)
+    return keep
+
+
+def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
+    """Masked all-pairs broadphase. Returns (bb, bs, ss) CandidatePairs."""
+    bodies, sleep = state.bodies, state.sleep
+    bx, sp = state.boxes, state.spheres
+    m = cfg.aabb_margin
+
+    blo, bhi = box_aabbs(bx.half, wc.box_pos, wc.box_quat, m)
+    slo, shi = sphere_aabbs(sp.radius, wc.sph_pos, m)
+
+    nb = cfg.max_boxes
+    ns = sp.radius.shape[0]
+
+    # box-box: strict upper triangle
+    bb_mask = _aabb_overlap(blo, bhi, blo, bhi)
+    iu = jnp.arange(nb)
+    bb_mask &= iu[:, None] < iu[None, :]
+    bb_mask &= bx.valid[:, None] & bx.valid[None, :]
+    bb_mask &= _pair_filter(
+        bodies, sleep, bx.body[:, None], bx.body[None, :], state.connections
+    )
+    bb = _compact_pairs(bb_mask, cfg.max_box_box_pairs, nb)
+
+    if cfg.max_spheres > 0:
+        bs_mask = _aabb_overlap(blo, bhi, slo, shi)
+        bs_mask &= bx.valid[:, None] & sp.valid[None, :]
+        bs_mask &= _pair_filter(
+            bodies, sleep, bx.body[:, None], sp.body[None, :], state.connections
+        )
+        bs = _compact_pairs(bs_mask, cfg.max_box_sphere_pairs, ns)
+
+        ss_mask = _aabb_overlap(slo, shi, slo, shi)
+        ju = jnp.arange(ns)
+        ss_mask &= ju[:, None] < ju[None, :]
+        ss_mask &= sp.valid[:, None] & sp.valid[None, :]
+        ss_mask &= _pair_filter(
+            bodies, sleep, sp.body[:, None], sp.body[None, :], state.connections
+        )
+        ss = _compact_pairs(ss_mask, cfg.max_sphere_sphere_pairs, ns)
+    else:
+        empty = CandidatePairs(
+            a=jnp.zeros((0,), jnp.int32), b=jnp.zeros((0,), jnp.int32),
+            valid=jnp.zeros((0,), bool), count=jnp.zeros((), jnp.int32),
+        )
+        bs = ss = empty
+
+    return bb, bs, ss
+
+
+def pair_key(gid_a, gid_b):
+    """Packed persistent pair identity. Collider slots never reorder, so the
+    global collider id is the stable identity (plays the role of the
+    reference's uint16 collider tags, SURVEY C8)."""
+    return gid_a * PAIR_SHIFT + gid_b

@@ -1,0 +1,92 @@
+"""Warm-start impulse cache: sort-merge join on persistent contact tags.
+
+Reference (SURVEY.md C9, §3.C): read_cached_impulses sorts the current frame's
+u64 contact tags and merge-joins them against the previous frame's sorted
+cache; write_cached_impulses harvests accumulated impulses back.
+
+TPU-native design: one fully-vectorized sort-merge join per frame. Cache rows
+(src=0) and current contact points (src=1) are concatenated and
+lexicographically sorted by (pair, feat, src) with `lax.sort`; a current point
+matches iff its immediate predecessor in sorted order is a cache row with the
+same key. No u64s (TPU-unfriendly): identity is two i32 keys.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..state import ContactCache
+from .contacts import Manifolds
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _join(c_pair, c_feat, c_imp, c_valid, k_pair, k_feat, k_valid):
+    """Core join: returns f32[K,3] impulses for current keys (zeros on miss)."""
+    c_pair = jnp.where(c_valid, c_pair, _SENTINEL)
+    c_feat = jnp.where(c_valid, c_feat, _SENTINEL)
+    k_pair = jnp.where(k_valid, k_pair, _SENTINEL)
+    k_feat = jnp.where(k_valid, k_feat, _SENTINEL)
+
+    n_cache = c_pair.shape[0]
+    n_cur = k_pair.shape[0]
+
+    pair = jnp.concatenate([c_pair, k_pair])
+    feat = jnp.concatenate([c_feat, k_feat])
+    src = jnp.concatenate([
+        jnp.zeros((n_cache,), jnp.int32), jnp.ones((n_cur,), jnp.int32)
+    ])
+    payload = jnp.concatenate([c_imp, jnp.zeros((n_cur, 3), jnp.float32)])
+    orig = jnp.concatenate([
+        jnp.full((n_cache,), -1, jnp.int32),
+        jnp.arange(n_cur, dtype=jnp.int32),
+    ])
+
+    pair, feat, src, px, py, pz, orig = jax.lax.sort(
+        (pair, feat, src, payload[:, 0], payload[:, 1], payload[:, 2], orig),
+        num_keys=3,
+    )
+    payload = jnp.stack([px, py, pz], axis=-1)
+
+    prev_match = (
+        (src == 1)
+        & (jnp.roll(src, 1) == 0)
+        & (pair == jnp.roll(pair, 1))
+        & (feat == jnp.roll(feat, 1))
+    )
+    prev_match = prev_match.at[0].set(False)
+    matched = jnp.where(prev_match[:, None], jnp.roll(payload, 1, axis=0), 0.0)
+
+    out = jnp.zeros((n_cur, 3), jnp.float32)
+    sel = src == 1
+    tgt = jnp.where(sel, orig, n_cur)  # out-of-bounds rows drop
+    out = out.at[tgt].add(jnp.where(sel[:, None], matched, 0.0), mode="drop")
+    return jnp.where(k_valid[:, None], out, 0.0)
+
+
+def read_cached_impulses(cache: ContactCache, man: Manifolds) -> jnp.ndarray:
+    """Warm-start impulses for every manifold point — f32[M,P,3]."""
+    m, p = man.feat.shape
+    pair_flat = jnp.broadcast_to(man.pair[:, None], (m, p)).reshape(-1)
+    out = _join(
+        cache.pair, cache.feat, cache.impulse, cache.valid,
+        pair_flat, man.feat.reshape(-1), man.point_valid.reshape(-1),
+    )
+    return out.reshape(m, p, 3)
+
+
+def write_cached_impulses(man: Manifolds, impulse_world: jnp.ndarray
+                          ) -> ContactCache:
+    """New cache = this frame's contact points + their accumulated world
+    impulses f32[M,P,3] (reference: update_/write_cached_impulses, SURVEY C9).
+    """
+    m, p = man.feat.shape
+    valid = man.point_valid.reshape(-1)
+    pair_flat = jnp.broadcast_to(man.pair[:, None], (m, p)).reshape(-1)
+    return ContactCache(
+        pair=jnp.where(valid, pair_flat, 0),
+        feat=jnp.where(valid, man.feat.reshape(-1), 0),
+        impulse=jnp.where(valid[:, None], impulse_world.reshape(-1, 3), 0.0),
+        valid=valid,
+    )

@@ -1,0 +1,175 @@
+"""Contact generation: narrowphase over candidate pairs + manifold compaction.
+
+Rebuilds the contact-emitting half of the reference's collide() (SURVEY.md
+§3.B): route candidate pairs to the three narrowphase kernels, tag every
+contact point with its persistent identity (pair key + feature id, SURVEY C8),
+and compact the results into a fixed-capacity *manifold* array.
+
+Layout choice (differs from the reference's flat contact list, SURVEY C1):
+contacts are kept grouped by collider pair — a manifold of up to
+POINTS_PER_MANIFOLD points sharing (body_a, body_b, normal, friction). The
+solver exploits this: one gather/scatter per manifold, sequential Gauss-Seidel
+over the points inside (solver.py), coloring at manifold granularity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SimConfig
+from ..state import SimState
+from . import narrowphase as nps
+from .broadphase import (
+    CandidatePairs, WorldColliders, allpairs_broadphase, pair_key,
+    world_colliders,
+)
+
+POINTS = nps.BOX_BOX_POINTS  # points per manifold (4)
+
+
+@struct.dataclass
+class Manifolds:
+    """Fixed-capacity SoA contact manifolds (the ContactData analog,
+    reference `nudge.h` — SURVEY §8, grouped by pair)."""
+
+    body_a: jnp.ndarray       # i32[M]
+    body_b: jnp.ndarray       # i32[M]
+    pair: jnp.ndarray         # i32[M] packed collider-pair key
+    normal: jnp.ndarray       # f32[M,3] world, from body_a to body_b
+    friction: jnp.ndarray     # f32[M]
+    pos: jnp.ndarray          # f32[M,P,3] world contact points
+    depth: jnp.ndarray        # f32[M,P] penetration (> 0 where point_valid)
+    feat: jnp.ndarray         # i32[M,P] feature ids
+    point_valid: jnp.ndarray  # bool[M,P]
+    valid: jnp.ndarray        # bool[M]
+    count: jnp.ndarray        # i32 true manifold count (may exceed M)
+    overflow: jnp.ndarray     # bool: any pair/manifold capacity exceeded
+
+    @property
+    def contact_count(self) -> jnp.ndarray:
+        return jnp.sum(self.point_valid.astype(jnp.int32))
+
+
+def _combine_friction(fa, fb):
+    """Geometric-mean material combine."""
+    return jnp.sqrt(jnp.maximum(fa * fb, 0.0))
+
+
+def _pad_points(man_1pt):
+    """Expand 1-point narrowphase output (box-sphere / sphere-sphere) to the
+    P-slot manifold layout."""
+    n = man_1pt["depth"].shape[0]
+    pos = jnp.zeros((n, POINTS, 3), jnp.float32).at[:, 0].set(man_1pt["pos"])
+    depth = jnp.zeros((n, POINTS), jnp.float32).at[:, 0].set(man_1pt["depth"])
+    feat = jnp.zeros((n, POINTS), jnp.int32).at[:, 0].set(man_1pt["feat"])
+    pv = jnp.zeros((n, POINTS), bool).at[:, 0].set(man_1pt["valid"])
+    return pos, depth, feat, pv
+
+
+def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
+                    bs: CandidatePairs, ss: CandidatePairs, cfg: SimConfig):
+    """Vmapped narrowphase over all candidate pairs; returns per-pair manifold
+    slot arrays of static length |bb| + |bs| + |ss|."""
+    bx, sp = state.boxes, state.spheres
+    parts = []
+
+    if bb.a.shape[0] > 0:
+        man = jax.vmap(nps.box_box)(
+            bx.half[bb.a], wc.box_quat[bb.a], wc.box_pos[bb.a],
+            bx.half[bb.b], wc.box_quat[bb.b], wc.box_pos[bb.b],
+        )
+        parts.append(dict(
+            body_a=bx.body[bb.a],
+            body_b=bx.body[bb.b],
+            pair=pair_key(bb.a, bb.b),
+            normal=man["normal"],
+            friction=_combine_friction(bx.friction[bb.a], bx.friction[bb.b]),
+            pos=man["pos"],
+            depth=man["depth"],
+            feat=man["feat"],
+            point_valid=man["valid"] & bb.valid[:, None],
+        ))
+
+    if bs.a.shape[0] > 0:
+        sph_gid = cfg.max_boxes + jnp.arange(sp.radius.shape[0], dtype=jnp.int32)
+        man = jax.vmap(nps.box_sphere)(
+            bx.half[bs.a], wc.box_quat[bs.a], wc.box_pos[bs.a],
+            sp.radius[bs.b], wc.sph_pos[bs.b],
+        )
+        pos, depth, feat, pv = _pad_points(man)
+        parts.append(dict(
+            body_a=bx.body[bs.a],
+            body_b=sp.body[bs.b],
+            pair=pair_key(bs.a, sph_gid[bs.b]),
+            normal=man["normal"],
+            friction=_combine_friction(bx.friction[bs.a], sp.friction[bs.b]),
+            pos=pos, depth=depth, feat=feat,
+            point_valid=pv & bs.valid[:, None],
+        ))
+
+    if ss.a.shape[0] > 0:
+        sph_gid = cfg.max_boxes + jnp.arange(sp.radius.shape[0], dtype=jnp.int32)
+        man = jax.vmap(nps.sphere_sphere)(
+            sp.radius[ss.a], wc.sph_pos[ss.a],
+            sp.radius[ss.b], wc.sph_pos[ss.b],
+        )
+        pos, depth, feat, pv = _pad_points(man)
+        parts.append(dict(
+            body_a=sp.body[ss.a],
+            body_b=sp.body[ss.b],
+            pair=pair_key(sph_gid[ss.a], sph_gid[ss.b]),
+            normal=man["normal"],
+            friction=_combine_friction(sp.friction[ss.a], sp.friction[ss.b]),
+            pos=pos, depth=depth, feat=feat,
+            point_valid=pv & ss.valid[:, None],
+        ))
+
+    return {
+        k: jnp.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+    }
+
+
+def compact_manifolds(slots: dict, cfg: SimConfig, pair_overflow) -> Manifolds:
+    """Pack pairs that produced any contact to the front of a fixed-capacity
+    manifold array (capacity = cfg.max_manifolds)."""
+    cap = cfg.max_manifolds
+    has_contact = jnp.any(slots["point_valid"], axis=-1)
+    count = jnp.sum(has_contact.astype(jnp.int32))
+    (idx,) = jnp.nonzero(has_contact, size=cap, fill_value=0)
+    valid = jnp.arange(cap) < jnp.minimum(count, cap)
+
+    def take(x, fill=0):
+        out = x[idx]
+        mask = valid.reshape(valid.shape + (1,) * (out.ndim - 1))
+        return jnp.where(mask, out, fill)
+
+    return Manifolds(
+        body_a=take(slots["body_a"]),
+        body_b=take(slots["body_b"]),
+        pair=take(slots["pair"], fill=jnp.iinfo(jnp.int32).max),
+        normal=take(slots["normal"]),
+        friction=take(slots["friction"]),
+        pos=take(slots["pos"]),
+        depth=take(slots["depth"]),
+        feat=take(slots["feat"]),
+        point_valid=take(slots["point_valid"], fill=False),
+        valid=valid,
+        count=count,
+        overflow=(count > cap) | pair_overflow,
+    )
+
+
+def collide(state: SimState, cfg: SimConfig) -> Manifolds:
+    """Broadphase + narrowphase + compaction — the reference's
+    nudge::collide() (SURVEY §3.B) as one pure function."""
+    wc = world_colliders(state)
+    bb, bs, ss = allpairs_broadphase(state, wc, cfg)
+    slots = narrowphase_all(state, wc, bb, bs, ss, cfg)
+    pair_overflow = bb.overflow
+    if bs.a.shape[0] > 0:
+        pair_overflow |= bs.overflow
+    if ss.a.shape[0] > 0:
+        pair_overflow |= ss.overflow
+    return compact_manifolds(slots, cfg, pair_overflow)

@@ -26,9 +26,48 @@ import jax.numpy as jnp
 
 from ..mathx import cross, dot, normalize, quat_to_mat
 
-# Contact-point slots a box-box pair can emit (a quad clipped by 4 planes
-# yields at most 8 vertices).
+# Internal clip-polygon slots (a quad clipped by 4 planes yields at most 8
+# vertices) and the reduced manifold size a box-box pair emits. Reduction to
+# 4 well-spread points keeps the solver's per-manifold work and the coloring
+# pressure bounded — the standard manifold-reduction every production engine
+# applies (the reference emits the raw clip output [MED]; 4-point reduction
+# is behavior-preserving for stacking).
 BOX_BOX_SLOTS = 8
+
+from ..config import CONTACT_POINTS as BOX_BOX_POINTS  # noqa: E402
+
+
+def _reduce_manifold(uv, depth, valid):
+    """Pick <=4 representative points from <=8 clipped candidates:
+    deepest, farthest from it, then the two max-|area| extremes. Returns
+    (idx[4] i32, valid4[4] bool). `uv`[8,2] are reference-face plane coords."""
+    big_neg = jnp.float32(-1e30)
+    idxs = jnp.arange(BOX_BOX_SLOTS)
+
+    s0 = jnp.where(valid, depth, big_neg)
+    i0 = jnp.argmax(s0)
+    v0 = jnp.any(valid)
+    remaining = valid & (idxs != i0)
+
+    d1 = jnp.sum((uv - uv[i0]) ** 2, axis=-1)
+    i1 = jnp.argmax(jnp.where(remaining, d1, big_neg))
+    v1 = jnp.any(remaining)
+    remaining = remaining & (idxs != i1)
+
+    e01 = uv[i1] - uv[i0]
+    rel = uv - uv[i0]
+    area = e01[0] * rel[:, 1] - e01[1] * rel[:, 0]   # signed 2x triangle area
+    i2 = jnp.argmax(jnp.where(remaining, jnp.abs(area), big_neg))
+    v2 = jnp.any(remaining)
+    a2 = area[i2]
+    remaining = remaining & (idxs != i2)
+
+    opposite = -jnp.sign(a2) * area
+    i3 = jnp.argmax(jnp.where(remaining, opposite, big_neg))
+    v3 = jnp.any(remaining)
+
+    return (jnp.stack([i0, i1, i2, i3]),
+            jnp.stack([v0, v1, v2, v3]))
 
 _FACE_EDGE_BIAS = 0.95   # edge axis must beat the best face axis by 5% to win
 _ABS_EPS = 1e-5          # epsilon added to |R| (ODE-style near-parallel robustness)
@@ -99,8 +138,8 @@ def _clip_quad_against_faceband(pts, feat_in, feat_out, count, h_u, h_v, u, v):
 
 def box_box(ha, qa, pa, hb, qb, pb):
     """Collide two oriented boxes. Returns a fixed-shape manifold dict:
-    pos[8,3] (world), normal[3] (world, A->B), depth[8], feat[8] i32,
-    valid[8] bool.
+    pos[4,3] (world), normal[3] (world, A->B), depth[4], feat[4] i32,
+    valid[4] bool (BOX_BOX_POINTS=4 reduced manifold).
 
     SAT over the 15 classic axes with |R|+eps robustness; face case clips the
     incident face against the reference face's side bands; edge case does the
@@ -191,18 +230,25 @@ def box_box(ha, qa, pa, hb, qb, pb):
     )
 
     slot = jnp.arange(BOX_BOX_SLOTS)
-    depth_f = h_ref[w] - nsign * pts[:, w]       # > 0 penetrating
-    valid_f = (slot < n_clip) & (depth_f > 0.0)
+    depth_all = h_ref[w] - nsign * pts[:, w]     # > 0 penetrating
+    valid_all = (slot < n_clip) & (depth_all > 0.0)
+
+    # reduce <=8 clip points to <=4 representatives (see _reduce_manifold)
+    uv = jnp.stack([pts[:, u], pts[:, v]], axis=-1)
+    keep_idx, keep_valid = _reduce_manifold(uv, depth_all, valid_all)
+    pts4 = pts[keep_idx]
+    depth_f = depth_all[keep_idx]
+    valid_f = keep_valid & valid_all[keep_idx]
 
     Rref = jnp.where(ref_is_b, Rb, Ra)
     pref = jnp.where(ref_is_b, pb, pa)
-    pos_f = pts @ Rref.T + pref                  # world
+    pos_f = pts4 @ Rref.T + pref                 # world
     n_ref_world = Rref[:, axis] * nsign          # ref face outward normal
     normal_f = jnp.where(ref_is_b, -n_ref_world, n_ref_world)  # A -> B
 
     feat_f = (
-        feat_in * 8
-        + feat_out
+        feat_in[keep_idx] * 8
+        + feat_out[keep_idx]
         + (ref_is_b.astype(jnp.int32) << 6)
         + (axis.astype(jnp.int32) << 7)
         + ((nsign > 0).astype(jnp.int32) << 9)

@@ -1,0 +1,302 @@
+"""Warm-started sequential-impulse contact solver over colored manifolds.
+
+Reference (SURVEY.md C10/C11, §3.C): setup_contact_constraints sorts contacts
+by body pair, packs them into SIMD-width batches with no body repeated per
+batch (conflict-free lanes), precomputes contact frames / effective masses /
+Baumgarte bias, and applies warm-start impulses; apply_impulses then runs ~20
+Gauss-Seidel sweeps over the batches.
+
+TPU-native recast (SURVEY §7 M3 + north star): the batch structure becomes a
+*manifold coloring* — collider-pair manifolds are greedily colored so no color
+touches a dynamic body twice. The solve is sequential over colors
+(Gauss-Seidel ordering), parallel across the manifolds of a color (lanes),
+and sequential over the <=4 points *inside* each manifold with velocities held
+in registers (exact Gauss-Seidel within the manifold, one gather + one scatter
+per manifold per pass). Static bodies are exempt from coloring conflicts —
+their momentum is never written — which keeps the color count at the dynamic
+pair-degree even though e.g. the ground touches everything.
+
+Manifolds past the color budget land in the last color with an
+under-relaxation factor 1/degree (mass-splitting), which keeps the spilled
+Jacobi update contractive instead of explosive.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import CONTACT_POINTS, SimConfig
+from ..mathx import cross, dot, orthonormal_basis, quat_rotate, quat_rotate_inv
+from ..state import Bodies
+from .contacts import Manifolds
+
+_INF_I32 = jnp.iinfo(jnp.int32).max
+
+
+def _inv_inertia_apply(quat, inv_inertia_diag, v):
+    """World-space I⁻¹·v for a diagonal body-frame inverse inertia:
+    R · (I⁻¹_diag ⊙ (Rᵀ v))."""
+    return quat_rotate(quat, inv_inertia_diag * quat_rotate_inv(quat, v))
+
+
+@struct.dataclass
+class ContactConstraints:
+    """Precomputed per-manifold-point solve data (the reference's opaque
+    ContactConstraintData, SURVEY C10). P = CONTACT_POINTS."""
+
+    body_a: jnp.ndarray     # i32[M]
+    body_b: jnp.ndarray     # i32[M]
+    n: jnp.ndarray          # f32[M,3] contact normal (a->b), shared
+    t1: jnp.ndarray         # f32[M,3] tangent, shared
+    t2: jnp.ndarray         # f32[M,3] tangent, shared
+    ra: jnp.ndarray         # f32[M,P,3] contact offsets from body a COM
+    rb: jnp.ndarray         # f32[M,P,3]
+    # angular response vectors I⁻¹(r × d) for d in (n, t1, t2), both bodies
+    jna: jnp.ndarray        # f32[M,P,3]
+    jnb: jnp.ndarray
+    jt1a: jnp.ndarray
+    jt1b: jnp.ndarray
+    jt2a: jnp.ndarray
+    jt2b: jnp.ndarray
+    mn: jnp.ndarray         # f32[M,P] effective masses
+    mt1: jnp.ndarray
+    mt2: jnp.ndarray
+    bias: jnp.ndarray       # f32[M,P] target separating velocity (>= 0)
+    mu: jnp.ndarray         # f32[M]
+    im_a: jnp.ndarray       # f32[M]
+    im_b: jnp.ndarray
+    relax: jnp.ndarray      # f32[M] under-relaxation (1 except spilled)
+    color: jnp.ndarray      # i32[M]
+    n_colors: jnp.ndarray   # i32 colors actually used
+    point_valid: jnp.ndarray  # bool[M,P]
+    valid: jnp.ndarray      # bool[M]
+    spill_count: jnp.ndarray  # i32 manifolds past the color budget
+
+
+def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
+    """Greedy manifold graph coloring via iterated scatter-min claims.
+
+    Per round, every uncolored manifold tries to claim both its dynamic
+    bodies with its slot index; it wins iff both bodies report its index
+    (deterministic tie-break by smallest index). Winners take the round's
+    color — so within a color no dynamic body is written twice. This is the
+    reference's conflict-free batch packing (SURVEY C10) computed on-device.
+
+    Returns (color[M], n_colors, relax[M], spill_count).
+    """
+    n_bodies = bodies.pos.shape[0]
+    dyn = bodies.inv_mass > 0.0
+    dyn_a = dyn[man.body_a]
+    dyn_b = dyn[man.body_b]
+    idx = jnp.arange(man.pair.shape[0], dtype=jnp.int32)
+
+    def round_fn(c, color):
+        uncolored = man.valid & (color < 0)
+        token_a = jnp.where(uncolored & dyn_a, idx, _INF_I32)
+        token_b = jnp.where(uncolored & dyn_b, idx, _INF_I32)
+        claim = jnp.full((n_bodies,), _INF_I32, jnp.int32)
+        claim = claim.at[man.body_a].min(token_a)
+        claim = claim.at[man.body_b].min(token_b)
+        ok_a = ~dyn_a | (claim[man.body_a] == idx)
+        ok_b = ~dyn_b | (claim[man.body_b] == idx)
+        win = uncolored & ok_a & ok_b
+        return jnp.where(win, c, color)
+
+    color = jnp.full_like(man.pair, -1)
+    color = jax.lax.fori_loop(0, cfg.max_colors - 1, round_fn, color)
+    spilled = man.valid & (color < 0)
+    color = jnp.where(spilled, cfg.max_colors - 1, color)
+    color = jnp.where(man.valid, color, cfg.max_colors)  # park invalid
+
+    # Spill under-relaxation: conflicting manifolds in the last color all
+    # update the same bodies Jacobi-style; scaling each update by
+    # 1/(body conflict degree) keeps the combined step contractive.
+    deg = jnp.zeros((n_bodies,), jnp.int32)
+    deg = deg.at[man.body_a].add(jnp.where(spilled & dyn_a, 1, 0))
+    deg = deg.at[man.body_b].add(jnp.where(spilled & dyn_b, 1, 0))
+    mdeg = jnp.maximum(
+        jnp.where(dyn_a, deg[man.body_a], 0),
+        jnp.where(dyn_b, deg[man.body_b], 0),
+    )
+    relax = jnp.where(
+        spilled, 1.0 / jnp.maximum(mdeg.astype(jnp.float32), 1.0), 1.0
+    )
+
+    n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
+    return color, n_used, relax, jnp.sum(spilled.astype(jnp.int32))
+
+
+def setup_constraints(bodies: Bodies, man: Manifolds,
+                      warm_impulse: jnp.ndarray, cfg: SimConfig):
+    """Precompute contact frames, effective masses, bias; apply warm-start
+    impulses to body momentum (reference: setup_contact_constraints,
+    SURVEY §3.C). `warm_impulse` is f32[M,P,3] world impulses from the cache.
+    Returns (constraints, bodies, acc) with acc = (λn, λt1, λt2) each [M,P].
+    """
+    ba, bb_ = man.body_a, man.body_b
+    n = man.normal
+    t1, t2 = orthonormal_basis(n)
+    ra = man.pos - bodies.pos[ba][:, None, :]
+    rb = man.pos - bodies.pos[bb_][:, None, :]
+    im_a = bodies.inv_mass[ba]
+    im_b = bodies.inv_mass[bb_]
+    qa, qb = bodies.quat[ba], bodies.quat[bb_]
+    ii_a, ii_b = bodies.inv_inertia[ba], bodies.inv_inertia[bb_]
+
+    def eff(d):
+        dP = d[:, None, :]                      # broadcast over points
+        rna = cross(ra, dP)
+        rnb = cross(rb, dP)
+        ja = _inv_inertia_apply(qa[:, None, :], ii_a[:, None, :], rna)
+        jb = _inv_inertia_apply(qb[:, None, :], ii_b[:, None, :], rnb)
+        k = im_a[:, None] + im_b[:, None] + dot(rna, ja) + dot(rnb, jb)
+        m = jnp.where(k > 0.0, 1.0 / jnp.maximum(k, 1e-12), 0.0)
+        return ja, jb, m
+
+    jna, jnb, mn = eff(n)
+    jt1a, jt1b, mt1 = eff(t1)
+    jt2a, jt2b, mt2 = eff(t2)
+
+    # velocity-level position bias (Baumgarte) + optional restitution
+    bias = cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0)
+    if cfg.restitution > 0.0:
+        vrel0 = (
+            (bodies.vel[bb_][:, None] + cross(bodies.angvel[bb_][:, None], rb))
+            - (bodies.vel[ba][:, None] + cross(bodies.angvel[ba][:, None], ra))
+        )
+        vn0 = dot(vrel0, n[:, None])
+        bias = jnp.maximum(bias, cfg.restitution * jnp.maximum(-vn0 - 1.0, 0.0))
+
+    color, n_colors, relax, spill = color_manifolds(man, bodies, cfg)
+
+    con = ContactConstraints(
+        body_a=ba, body_b=bb_, n=n, t1=t1, t2=t2, ra=ra, rb=rb,
+        jna=jna, jnb=jnb, jt1a=jt1a, jt1b=jt1b, jt2a=jt2a, jt2b=jt2b,
+        mn=mn, mt1=mt1, mt2=mt2, bias=bias, mu=man.friction,
+        im_a=im_a, im_b=im_b, relax=relax, color=color, n_colors=n_colors,
+        point_valid=man.point_valid, valid=man.valid, spill_count=spill,
+    )
+
+    # --- warm start: project cached world impulses onto the new frames and
+    # apply to body momentum now (the reference does this in setup) ---
+    if cfg.warm_start:
+        acc_n = jnp.maximum(dot(warm_impulse, n[:, None]), 0.0)
+        bound = man.friction[:, None] * acc_n
+        acc_t1 = jnp.clip(dot(warm_impulse, t1[:, None]), -bound, bound)
+        acc_t2 = jnp.clip(dot(warm_impulse, t2[:, None]), -bound, bound)
+    else:
+        acc_n = jnp.zeros_like(mn)
+        acc_t1 = jnp.zeros_like(mn)
+        acc_t2 = jnp.zeros_like(mn)
+    pv = man.point_valid
+    acc_n = jnp.where(pv, acc_n, 0.0)
+    acc_t1 = jnp.where(pv, acc_t1, 0.0)
+    acc_t2 = jnp.where(pv, acc_t2, 0.0)
+
+    bodies = _apply_manifold_impulses(bodies, con, acc_n, acc_t1, acc_t2)
+    return con, bodies, (acc_n, acc_t1, acc_t2)
+
+
+def _apply_manifold_impulses(bodies, con, ln, lt1, lt2):
+    """Scatter the summed impulse of each manifold's points to its bodies
+    (used for warm starting; scatter-add tolerates body duplicates)."""
+    pv = con.point_valid
+    ln = jnp.where(pv, ln, 0.0)
+    lt1 = jnp.where(pv, lt1, 0.0)
+    lt2 = jnp.where(pv, lt2, 0.0)
+    P = (jnp.sum(ln, 1)[:, None] * con.n + jnp.sum(lt1, 1)[:, None] * con.t1
+         + jnp.sum(lt2, 1)[:, None] * con.t2)
+    dw_a = jnp.sum(ln[..., None] * con.jna + lt1[..., None] * con.jt1a
+                   + lt2[..., None] * con.jt2a, axis=1)
+    dw_b = jnp.sum(ln[..., None] * con.jnb + lt1[..., None] * con.jt1b
+                   + lt2[..., None] * con.jt2b, axis=1)
+    vel = bodies.vel.at[con.body_a].add(-P * con.im_a[:, None])
+    vel = vel.at[con.body_b].add(P * con.im_b[:, None])
+    angvel = bodies.angvel.at[con.body_a].add(-dw_a)
+    angvel = angvel.at[con.body_b].add(dw_b)
+    return bodies.replace(vel=vel, angvel=angvel)
+
+
+def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
+    """Iterated impulse solve (the reference's apply_impulses hot loop,
+    SURVEY C11): `solver_iters` sweeps, sequential over colors, parallel
+    across manifolds of a color, sequential over the points of a manifold
+    with velocities kept in registers. Returns (bodies, acc)."""
+    acc_n, acc_t1, acc_t2 = acc
+    n_colors = jnp.maximum(con.n_colors, 1)
+
+    def pass_fn(i, carry):
+        vel, angvel, acc_n, acc_t1, acc_t2 = carry
+        c = jnp.mod(i, n_colors)
+        mask = con.valid & (con.color == c)
+        relax = jnp.where(mask, con.relax, 0.0)
+
+        va = vel[con.body_a]
+        vb = vel[con.body_b]
+        wa = angvel[con.body_a]
+        wb = angvel[con.body_b]
+
+        dlns, dlt1s, dlt2s = [], [], []
+        # sequential Gauss-Seidel over the manifold's points, velocities live
+        # in registers between points (unrolled: CONTACT_POINTS is small)
+        for p in range(CONTACT_POINTS):
+            pm = relax * con.point_valid[:, p]
+            vrel = vb + cross(wb, con.rb[:, p]) - va - cross(wa, con.ra[:, p])
+
+            vn = dot(vrel, con.n)
+            dln = (con.bias[:, p] - vn) * con.mn[:, p]
+            new_n = jnp.maximum(acc_n[:, p] + dln, 0.0)
+            dln = pm * (new_n - acc_n[:, p])
+
+            bound = con.mu * (acc_n[:, p] + dln)
+            vt1 = dot(vrel, con.t1)
+            new_t1 = jnp.clip(acc_t1[:, p] - vt1 * con.mt1[:, p], -bound, bound)
+            dlt1 = pm * (new_t1 - acc_t1[:, p])
+            vt2 = dot(vrel, con.t2)
+            new_t2 = jnp.clip(acc_t2[:, p] - vt2 * con.mt2[:, p], -bound, bound)
+            dlt2 = pm * (new_t2 - acc_t2[:, p])
+
+            Pimp = (dln[:, None] * con.n + dlt1[:, None] * con.t1
+                    + dlt2[:, None] * con.t2)
+            va = va - Pimp * con.im_a[:, None]
+            vb = vb + Pimp * con.im_b[:, None]
+            wa = wa - (dln[:, None] * con.jna[:, p]
+                       + dlt1[:, None] * con.jt1a[:, p]
+                       + dlt2[:, None] * con.jt2a[:, p])
+            wb = wb + (dln[:, None] * con.jnb[:, p]
+                       + dlt1[:, None] * con.jt1b[:, p]
+                       + dlt2[:, None] * con.jt2b[:, p])
+            dlns.append(dln)
+            dlt1s.append(dlt1)
+            dlt2s.append(dlt2)
+
+        acc_n = acc_n + jnp.stack(dlns, axis=1)
+        acc_t1 = acc_t1 + jnp.stack(dlt1s, axis=1)
+        acc_t2 = acc_t2 + jnp.stack(dlt2s, axis=1)
+
+        # one scatter per manifold: write the net velocity change
+        mcol = mask[:, None]
+        vel = vel.at[con.body_a].add(jnp.where(mcol, va - vel[con.body_a], 0.0))
+        vel = vel.at[con.body_b].add(jnp.where(mcol, vb - vel[con.body_b], 0.0))
+        angvel = angvel.at[con.body_a].add(
+            jnp.where(mcol, wa - angvel[con.body_a], 0.0))
+        angvel = angvel.at[con.body_b].add(
+            jnp.where(mcol, wb - angvel[con.body_b], 0.0))
+        return (vel, angvel, acc_n, acc_t1, acc_t2)
+
+    init = (bodies.vel, bodies.angvel, acc_n, acc_t1, acc_t2)
+    vel, angvel, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
+        0, cfg.solver_iters * n_colors, pass_fn, init
+    )
+    return bodies.replace(vel=vel, angvel=angvel), (acc_n, acc_t1, acc_t2)
+
+
+def accumulated_world_impulse(con: ContactConstraints, acc) -> jnp.ndarray:
+    """Fold accumulated (λn, λt1, λt2) back into world-space impulse vectors
+    f32[M,P,3] for the cache (reference: update_cached_impulses, SURVEY C9)."""
+    acc_n, acc_t1, acc_t2 = acc
+    return (acc_n[..., None] * con.n[:, None]
+            + acc_t1[..., None] * con.t1[:, None]
+            + acc_t2[..., None] * con.t2[:, None])

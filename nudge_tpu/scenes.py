@@ -132,7 +132,7 @@ class SceneBuilder:
             max_box_box_pairs=bb,
             max_box_sphere_pairs=bs,
             max_sphere_sphere_pairs=ss,
-            max_contacts=cap(4 * bb + bs + ss),
+            max_manifolds=bb + bs + ss,
             max_connections=len(self.connections),
         )
         kw.update(overrides)
@@ -179,7 +179,7 @@ class SceneBuilder:
         if self.connections:
             conn[: len(self.connections)] = np.asarray(self.connections, np.int32)
 
-        c = cfg.max_contacts
+        c = cfg.cache_capacity
         return SimState(
             bodies=Bodies(
                 pos=jnp.asarray(pad(self.pos, cfg.max_bodies, 0.0, width=3)),

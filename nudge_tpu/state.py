@@ -119,7 +119,7 @@ class SimState:
 def empty_state(cfg: SimConfig) -> SimState:
     """All-padding state at capacity; fill via scenes.SceneBuilder."""
     n, b, s = cfg.max_bodies, cfg.max_boxes, cfg.max_spheres
-    c, k = cfg.max_contacts, max(cfg.max_connections, 1)
+    c, k = cfg.cache_capacity, max(cfg.max_connections, 1)
     f32, i32 = jnp.float32, jnp.int32
     return SimState(
         bodies=Bodies(

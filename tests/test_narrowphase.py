@@ -94,13 +94,18 @@ def test_face_face_offset():
     np.testing.assert_allclose(r["normal"], [0, 1, 0], atol=1e-5)
 
 
-def test_face_face_rotated_45_gives_octagon():
+def test_face_face_rotated_45_octagon_reduced_to_4():
+    # the raw clip is an octagon (8 points); manifold reduction keeps 4
+    # well-spread representatives
     q45 = np.asarray(m.quat_from_axis_angle(jnp.array([0., 1., 0.]), np.pi / 4))
     r = run_bb([0.5] * 3, IDQ, [0, 0, 0], [0.5] * 3, q45, [0, 0.9, 0])
-    assert r["valid"].sum() == 8
+    assert r["valid"].sum() == 4
     np.testing.assert_allclose(np.abs(r["normal"][1]), 1.0, atol=1e-5)
     feats = r["feat"][r["valid"]]
-    assert len(set(feats.tolist())) == 8
+    assert len(set(feats.tolist())) == 4
+    # kept points should span the overlap region, not cluster
+    pts = r["pos"][r["valid"]][:, [0, 2]]
+    assert np.ptp(pts[:, 0]) > 0.4 and np.ptp(pts[:, 1]) > 0.4
 
 
 def test_edge_edge_cross():
