@@ -1,11 +1,19 @@
 """Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
-exercised without TPU hardware (driver contract). Must run before jax import."""
+exercised without TPU hardware (driver contract).
+
+This machine's sitecustomize pre-imports jax and exports JAX_PLATFORMS=axon
+(TPU tunnel), so env vars set here are too late for jax.config's import-time
+read — use jax.config.update instead. XLA_FLAGS still works because backends
+initialize lazily at first use."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
