@@ -18,6 +18,10 @@ import time
 import jax
 import numpy as np
 
+from nudge_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def time_rollout(state, cfg, steps, chunks=3):
     """Median wall time of `chunks` on-device rollouts of `steps` steps."""

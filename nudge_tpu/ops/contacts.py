@@ -161,11 +161,22 @@ def compact_manifolds(slots: dict, cfg: SimConfig, pair_overflow) -> Manifolds:
     )
 
 
+def _broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
+    mode = cfg.broadphase
+    if mode == "auto":
+        mode = "grid" if cfg.num_colliders > 1024 else "allpairs"
+    if mode == "grid":
+        from .grid import grid_broadphase
+
+        return grid_broadphase(state, wc, cfg)
+    return allpairs_broadphase(state, wc, cfg)
+
+
 def collide(state: SimState, cfg: SimConfig) -> Manifolds:
     """Broadphase + narrowphase + compaction — the reference's
     nudge::collide() (SURVEY §3.B) as one pure function."""
     wc = world_colliders(state)
-    bb, bs, ss = allpairs_broadphase(state, wc, cfg)
+    bb, bs, ss = _broadphase(state, wc, cfg)
     slots = narrowphase_all(state, wc, bb, bs, ss, cfg)
     pair_overflow = bb.overflow
     if bs.a.shape[0] > 0:

@@ -1,0 +1,176 @@
+"""Scalable broadphase: uniform grid via sort + binary search (SURVEY §7 M4).
+
+The reference's broadphase is a sorted sweep-and-prune along one axis
+(SURVEY.md C5) — inherently sequential in its scan. The TPU-native
+replacement is a uniform grid:
+
+  - every collider gets one *home cell*; cells are packed into exact i32 keys
+    (10 bits/axis, clamped — no hashing, so no false cell aliasing and no
+    duplicate candidates);
+  - colliders are sorted by cell key once per step (`lax.sort`);
+  - each collider queries its 27 neighbor cells with vectorized
+    `searchsorted` and reads up to `grid_density` entries per cell — fixed
+    shapes, overflow flagged;
+  - a pair (i, j), i < j by global collider id, is emitted exactly once:
+    from i's scan when j's home cell is in i's neighborhood.
+
+Correctness requires cell size >= e_i + e_j for any overlapping pair of
+grid-resident AABBs (then their cell coords differ by <= 1 per axis).
+Oversized colliders (e.g. the static ground slab, whose AABB would force a
+gigantic cell) are excluded from the grid and tested densely against
+everyone through a small fixed-capacity side channel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import SimState
+from .broadphase import (
+    CandidatePairs, WorldColliders, _pair_filter, box_aabbs, sphere_aabbs,
+)
+
+_GRID_BITS = 10
+_GRID_SIDE = 1 << _GRID_BITS          # 1024 cells per axis
+_KEY_INVALID = jnp.iinfo(jnp.int32).max
+
+
+def _pack_cells(coords):
+    """[..., 3] clamped cell coords -> packed i32 keys."""
+    c = jnp.clip(coords + _GRID_SIDE // 2, 0, _GRID_SIDE - 1)
+    return (c[..., 0] << (2 * _GRID_BITS)) | (c[..., 1] << _GRID_BITS) | c[..., 2]
+
+
+def _all_aabbs(state: SimState, wc: WorldColliders, cfg: SimConfig):
+    """Unified collider arrays over global ids (boxes then spheres):
+    lo/hi[G,3], body[G], valid[G]."""
+    bx, sp = state.boxes, state.spheres
+    blo, bhi = box_aabbs(bx.half, wc.box_pos, wc.box_quat, cfg.aabb_margin)
+    if cfg.max_spheres > 0:
+        slo, shi = sphere_aabbs(sp.radius, wc.sph_pos, cfg.aabb_margin)
+        lo = jnp.concatenate([blo, slo])
+        hi = jnp.concatenate([bhi, shi])
+        body = jnp.concatenate([bx.body, sp.body])
+        valid = jnp.concatenate([bx.valid, sp.valid])
+    else:
+        lo, hi, body, valid = blo, bhi, bx.body, bx.valid
+    return lo, hi, body, valid
+
+
+def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
+    """Returns (bb, bs, ss) CandidatePairs like allpairs_broadphase, plus
+    pair generation that scales O(G·27·K) instead of O(G²)."""
+    lo, hi, body, valid = _all_aabbs(state, wc, cfg)
+    g = lo.shape[0]
+    center = 0.5 * (lo + hi)
+    ext = jnp.max(0.5 * (hi - lo), axis=-1)          # per-collider max extent
+
+    # cell size: from config, or derived from the typical collider. Outliers
+    # (> 2x median extent) become "big" and skip the grid.
+    med = jnp.median(jnp.where(valid, ext, jnp.nan))
+    med = jnp.nan_to_num(med, nan=1.0)
+    big = valid & (ext > 2.0 * med)
+    if cfg.grid_cell > 0.0:
+        cell = jnp.float32(cfg.grid_cell)
+        big = valid & (2.0 * ext > cell)
+    else:
+        cell = 2.0 * jnp.max(jnp.where(valid & ~big, ext, 0.0))
+        cell = jnp.maximum(cell, 1e-3)
+
+    in_grid = valid & ~big
+
+    coords = jnp.floor(center / cell).astype(jnp.int32)
+    key = jnp.where(in_grid, _pack_cells(coords), _KEY_INVALID)
+    gid = jnp.arange(g, dtype=jnp.int32)
+    sorted_key, order = jax.lax.sort((key, gid), num_keys=1)
+
+    # 27 neighbor cell keys per collider
+    off = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
+                    axis=-1).reshape(27, 3)
+    nkeys = _pack_cells(coords[:, None, :] + off[None, :, :])   # [G,27]
+
+    qlo = jnp.searchsorted(sorted_key, nkeys, side="left")
+    qhi = jnp.searchsorted(sorted_key, nkeys, side="right")
+    density_overflow = jnp.any((qhi - qlo) > cfg.grid_density)
+
+    k = jnp.arange(cfg.grid_density)
+    pos = qlo[..., None] + k                                     # [G,27,K]
+    live = (pos < qhi[..., None]) & in_grid[:, None, None]
+    j = order[jnp.minimum(pos, g - 1)]                           # [G,27,K]
+
+    i = gid[:, None, None]
+    pair_live = live & (j > i)
+    overlap = jnp.all(
+        (lo[i] <= hi[j]) & (lo[j] <= hi[i]), axis=-1
+    )
+    keep = pair_live & overlap
+    keep &= _pair_filter(state.bodies, state.sleep, body[i], body[j],
+                         state.connections)
+
+    # --- big colliders: dense side channel against everyone ---
+    big_cap = cfg.max_big_colliders
+    (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=g - 1)
+    big_valid = jnp.arange(big_cap) < jnp.sum(big.astype(jnp.int32))
+    bi = big_idx[:, None]
+    bj = gid[None, :]
+    b_overlap = jnp.all((lo[bi] <= hi[bj]) & (lo[bj] <= hi[bi]), axis=-1)
+    b_keep = b_overlap & big_valid[:, None] & valid[bj]
+    # avoid double-emitting big-big pairs; grid never emits big pairs
+    b_keep &= (bj != bi) & (~big[bj] | (bj > bi))
+    b_keep &= _pair_filter(state.bodies, state.sleep, body[bi], body[bj],
+                           state.connections)
+    b_a = jnp.minimum(bi, bj)
+    b_b = jnp.maximum(bi, bj)
+
+    # --- compact all candidates once, then split by class ---
+    flat_a = jnp.concatenate([
+        jnp.broadcast_to(i, keep.shape).reshape(-1), b_a.reshape(-1)
+    ])
+    flat_b = jnp.concatenate([
+        j.reshape(-1), b_b.reshape(-1)
+    ])
+    flat_keep = jnp.concatenate([keep.reshape(-1), b_keep.reshape(-1)])
+
+    cap = cfg.total_pairs
+    total = jnp.sum(flat_keep.astype(jnp.int32))
+    (sel,) = jnp.nonzero(flat_keep, size=cap, fill_value=0)
+    sel_valid = jnp.arange(cap) < jnp.minimum(total, cap)
+    a_s = jnp.where(sel_valid, flat_a[sel], 0)
+    b_s = jnp.where(sel_valid, flat_b[sel], 0)
+    pair_overflow = (total > cap) | density_overflow
+
+    nb = cfg.max_boxes
+    is_bb = sel_valid & (b_s < nb)
+    is_ss = sel_valid & (a_s >= nb)
+    is_bs = sel_valid & (a_s < nb) & (b_s >= nb)
+
+    def split(mask, cap_c, a_vals, b_vals):
+        cnt = jnp.sum(mask.astype(jnp.int32))
+        (ii,) = jnp.nonzero(mask, size=cap_c, fill_value=0)
+        vv = jnp.arange(cap_c) < jnp.minimum(cnt, cap_c)
+        return CandidatePairs(
+            a=jnp.where(vv, a_vals[ii], 0).astype(jnp.int32),
+            b=jnp.where(vv, b_vals[ii], 0).astype(jnp.int32),
+            valid=vv, count=cnt,
+        )
+
+    bb = split(is_bb, cfg.max_box_box_pairs, a_s, b_s)
+    if cfg.max_spheres > 0:
+        bs = split(is_bs, cfg.max_box_sphere_pairs, a_s, b_s - nb)
+        ss = split(is_ss, cfg.max_sphere_sphere_pairs, a_s - nb, b_s - nb)
+    else:
+        empty = CandidatePairs(
+            a=jnp.zeros((0,), jnp.int32), b=jnp.zeros((0,), jnp.int32),
+            valid=jnp.zeros((0,), bool), count=jnp.zeros((), jnp.int32),
+        )
+        bs = ss = empty
+
+    # surface grid-level overflow through the bb count so collide() sees it
+    bb = bb.replace(
+        count=jnp.where(pair_overflow,
+                        jnp.maximum(bb.count, cfg.max_box_box_pairs + 1),
+                        bb.count)
+    )
+    return bb, bs, ss
