@@ -48,7 +48,7 @@ def step(state: SimState, cfg: SimConfig):
     )
 
     bodies = advance(bodies, state.sleep, cfg)
-    sleep = update_sleep(bodies, contacts, state.sleep, cfg)
+    sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
 
     new_state = state.replace(
         bodies=bodies, cache=cache, sleep=sleep,

@@ -1,15 +1,16 @@
 """Sleeping / island bookkeeping (reference: SURVEY.md C13).
 
 Reference semantics: bodies whose velocity stays below threshold for a run of
-frames become sleep *candidates*; a group ("island") of touching candidates
-falls asleep together; contact with an awake body wakes the island instantly.
-The reference compacts sleeping bodies out of ActiveBodies and parks their
-pairs; on TPU we keep shapes fixed and flip an `awake` mask instead — sleeping
-bodies are skipped by gravity/integration (integrate.py) and their pairs are
-dropped in the broadphase filter (broadphase._pair_filter).
+frames become sleep *candidates*; an island of touching candidates falls
+asleep together; pairs between two sleeping bodies are skipped by the
+broadphase but *parked* (ContactData::sleeping_pairs) so a touch from an
+awake body can wake the whole island instantly.
 
-Island grouping = a few rounds of min-label propagation over the contact
-graph, entirely on-device.
+TPU rebuild: no compaction — an `awake` mask (SleepState) gates gravity,
+integration (integrate.py) and broadphase pair generation
+(broadphase._pair_filter). Island grouping and instant wake propagation are a
+few rounds of on-device label/flag propagation: over the live contact graph
+for falling asleep, over the parked pair list for waking up.
 """
 
 from __future__ import annotations
@@ -21,57 +22,92 @@ from ..config import SimConfig
 from ..state import Bodies, SleepState
 from .contacts import Manifolds
 
+_BIG = jnp.iinfo(jnp.int32).max
 
-def update_sleep(bodies: Bodies, contacts: Manifolds, sleep: SleepState,
-                 cfg: SimConfig) -> SleepState:
+
+def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
+                 cfg: SimConfig):
+    """Post-solve sleep bookkeeping. Returns (SleepState, Bodies) — bodies'
+    velocities are zeroed when they fall asleep."""
     if not cfg.sleeping:
-        return sleep
+        return sleep, bodies
 
-    dyn = bodies.dynamic
     n = bodies.pos.shape[0]
+    dyn = bodies.dynamic
+    awake = sleep.awake
+    ba, bb = man.body_a, man.body_b
+    live = man.valid
 
+    # --- idle counting (reference: per-body idle counters, SURVEY C12/C13) ---
     slow = (
         (jnp.sum(bodies.vel ** 2, -1) < cfg.sleep_lin_vel ** 2)
         & (jnp.sum(bodies.angvel ** 2, -1) < cfg.sleep_ang_vel ** 2)
     )
-    idle = jnp.where(slow, sleep.idle + 1, 0)
-    candidate = dyn & (idle >= cfg.sleep_frames)
+    idle = jnp.where(awake, jnp.where(slow, sleep.idle + 1, 0), sleep.idle)
+    candidate = dyn & awake & (idle >= cfg.sleep_frames)
 
-    # A body may actually sleep only if every dynamic body in its island is a
-    # candidate. Label propagation: start labels = candidate ? body index : -1
-    # (awake bodies carry label "-1" = infectious wakefulness) and take min
-    # over contact neighbors; if any -1 reaches a body, its island stays up.
-    ba, bb = contacts.body_a, contacts.body_b
-    live = contacts.valid
-    # static bodies don't transmit wakefulness (the ground never sleeps but
-    # shouldn't keep everything awake either)
-    lbl = jnp.where(dyn & ~candidate, -1, jnp.arange(n))
-    lbl = jnp.where(dyn, lbl, jnp.iinfo(jnp.int32).max)  # statics: inert
+    # --- falling asleep: only whole islands of candidates may sleep.
+    # Propagate "wakefulness" (-1) from awake dynamic non-candidates through
+    # the live contact graph (static bodies do not transmit). ---
+    lbl = jnp.where(dyn & awake & ~candidate, -1, 0)
+    lbl = jnp.where(dyn, lbl, _BIG)
 
-    def sweep(_, lbl):
-        big = jnp.iinfo(jnp.int32).max
-        # propagate both directions, but never through a static body
-        thru_a = jnp.where(dyn[ba] & live, lbl[ba], big)
-        thru_b = jnp.where(dyn[bb] & live, lbl[bb], big)
-        new = lbl.at[bb].min(jnp.where(dyn[bb], thru_a, big))
-        new = new.at[ba].min(jnp.where(dyn[ba], thru_b, big))
-        return new
+    def sweep_asleep(_, lbl):
+        thru_a = jnp.where(dyn[ba] & live, lbl[ba], _BIG)
+        thru_b = jnp.where(dyn[bb] & live, lbl[bb], _BIG)
+        new = lbl.at[bb].min(jnp.where(dyn[bb], thru_a, _BIG))
+        return new.at[ba].min(jnp.where(dyn[ba], thru_b, _BIG))
 
-    lbl = jax.lax.fori_loop(0, cfg.island_sweeps, sweep, lbl)
-    island_awake = lbl < 0   # a -1 reached this body's island neighborhood
+    lbl = jax.lax.fori_loop(0, cfg.island_sweeps, sweep_asleep, lbl)
+    falls_asleep = candidate & ~(lbl < 0)
+    awake = awake & ~falls_asleep
 
-    asleep_now = candidate & ~island_awake
-    awake = jnp.where(dyn, ~asleep_now, True)
+    # --- waking: a live contact from a moving body touches a sleeper, and
+    # the wake flag floods its island through the parked pair list. ---
+    moving = dyn & awake
+    woken = jnp.zeros((n,), bool)
+    woken = woken.at[bb].max(live & moving[ba] & ~awake[bb] & dyn[bb])
+    woken = woken.at[ba].max(live & moving[bb] & ~awake[ba] & dyn[ba])
 
-    # instant wake: an awake dynamic body in contact wakes its island — covered
-    # by the same propagation next step because its label is -1. Additionally,
-    # a sleeping body touched by a *newly* moving body must wake immediately:
-    touched_by_awake = jnp.zeros((n,), bool)
-    mv = dyn & awake & sleep.awake  # bodies that are actually moving
-    touched_by_awake = touched_by_awake.at[bb].max(live & mv[ba])
-    touched_by_awake = touched_by_awake.at[ba].max(live & mv[bb])
-    wake_up = ~sleep.awake & touched_by_awake & dyn
-    awake = awake | wake_up
-    idle = jnp.where(wake_up, 0, idle)
+    pa, pb = sleep.pairs[:, 0], sleep.pairs[:, 1]
+    parked_live = pa >= 0
+    wake_flag = woken
 
-    return SleepState(idle=idle, awake=awake)
+    def sweep_wake(_, w):
+        wa = jnp.where(parked_live, w[jnp.maximum(pa, 0)], False)
+        wb = jnp.where(parked_live, w[jnp.maximum(pb, 0)], False)
+        w = w.at[jnp.maximum(pb, 0)].max(wa & parked_live)
+        return w.at[jnp.maximum(pa, 0)].max(wb & parked_live)
+
+    wake_flag = jax.lax.fori_loop(0, cfg.island_sweeps, sweep_wake, wake_flag)
+    wake_flag = wake_flag & dyn & ~awake
+    awake = awake | wake_flag
+    idle = jnp.where(wake_flag | falls_asleep, 0, idle)
+
+    # --- parked pairs: keep those still fully asleep, add this frame's
+    # contacts whose endpoints both just went (or stayed) asleep. ---
+    asleep = dyn & ~awake
+    keep_old = parked_live & asleep[jnp.maximum(pa, 0)] & asleep[jnp.maximum(pb, 0)]
+    new_pair = live & asleep[ba] & asleep[bb]
+    cand_a = jnp.concatenate([jnp.where(keep_old, pa, -1),
+                              jnp.where(new_pair, ba, -1)])
+    cand_b = jnp.concatenate([jnp.where(keep_old, pb, -1),
+                              jnp.where(new_pair, bb, -1)])
+    cap = sleep.pairs.shape[0]
+    sel_mask = cand_a >= 0
+    count = jnp.sum(sel_mask.astype(jnp.int32))
+    (sel,) = jnp.nonzero(sel_mask, size=cap, fill_value=0)
+    valid = jnp.arange(cap) < jnp.minimum(count, cap)
+    pairs = jnp.stack([
+        jnp.where(valid, cand_a[sel], -1),
+        jnp.where(valid, cand_b[sel], -1),
+    ], axis=-1).astype(jnp.int32)
+
+    # zero momentum of bodies that just fell asleep (standard engine behavior;
+    # prevents stale drift on wake)
+    fz = falls_asleep[:, None]
+    bodies = bodies.replace(
+        vel=jnp.where(fz, 0.0, bodies.vel),
+        angvel=jnp.where(fz, 0.0, bodies.angvel),
+    )
+    return SleepState(idle=idle, awake=awake, pairs=pairs), bodies

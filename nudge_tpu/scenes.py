@@ -214,6 +214,7 @@ class SceneBuilder:
             sleep=SleepState(
                 idle=jnp.zeros((cfg.max_bodies,), jnp.int32),
                 awake=jnp.ones((cfg.max_bodies,), bool),
+                pairs=jnp.full((cfg.max_manifolds, 2), -1, jnp.int32),
             ),
             connections=jnp.asarray(conn),
             step_count=jnp.zeros((), jnp.int32),

@@ -103,6 +103,8 @@ class SleepState:
 
     idle: jnp.ndarray    # i32[N] consecutive below-threshold frames
     awake: jnp.ndarray   # bool[N]
+    pairs: jnp.ndarray   # i32[K,2] parked sleeping contact pairs (-1 pad);
+                         # reference: ContactData::sleeping_pairs (SURVEY C13)
 
 
 @struct.dataclass
@@ -154,6 +156,7 @@ def empty_state(cfg: SimConfig) -> SimState:
         sleep=SleepState(
             idle=jnp.zeros((n,), i32),
             awake=jnp.ones((n,), bool),
+            pairs=jnp.full((cfg.max_manifolds, 2), -1, i32),
         ),
         connections=jnp.full((k, 2), -1, i32),
         step_count=jnp.zeros((), i32),

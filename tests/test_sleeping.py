@@ -1,0 +1,95 @@
+"""Sleeping / island semantics (SURVEY.md C13)."""
+
+import numpy as np
+import jax
+
+from nudge_tpu.engine import simulate
+from nudge_tpu.scenes import SceneBuilder, scene_stack
+
+
+def run(builder, steps, **over):
+    cfg = builder.auto_config(sleeping=True, sleep_frames=30, **over)
+    st = builder.finalize(cfg)
+    st, m = simulate(st, cfg, steps)
+    return cfg, st, jax.tree.map(np.asarray, m)
+
+
+def test_single_box_falls_asleep():
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))
+    cfg, st, m = run(b, 300)
+    awake = np.asarray(st.sleep.awake)
+    assert not awake[1], "settled box should be asleep"
+    assert m.awake_count[-1] == 0
+    # velocity zeroed, position held
+    np.testing.assert_allclose(np.asarray(st.bodies.vel[1]), 0.0)
+    assert abs(float(st.bodies.pos[1, 1]) - 0.5) < 0.02
+    # awake_count dropped at some point and stayed down
+    assert m.awake_count[0] == 1
+
+
+def test_sleeping_stack_wakes_on_impact():
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    for i in range(3):
+        b.add_box((0.5, 0.5, 0.5), (0, 0.5 + i * 1.001, 0))
+    # impactor box parked off to the side
+    b.add_box((0.5, 0.5, 0.5), (-6.0, 0.5, 0), mass=4.0)
+    cfg = b.auto_config(sleeping=True, sleep_frames=30)
+    st = b.finalize(cfg)
+
+    st, m1 = simulate(st, cfg, 250)
+    awake_mid = np.asarray(st.sleep.awake)
+    assert not awake_mid[1:4].any(), "stack should be asleep before impact"
+    # parked pairs exist for the sleeping stack
+    assert (np.asarray(st.sleep.pairs)[:, 0] >= 0).sum() >= 2
+
+    # fire the impactor at the stack (state surgery: set velocity + wake it)
+    import jax.numpy as jnp
+    st = st.replace(
+        bodies=st.bodies.replace(vel=st.bodies.vel.at[4].set(
+            jnp.array([8.0, 0.0, 0.0]))),
+        sleep=st.sleep.replace(awake=st.sleep.awake.at[4].set(True)),
+    )
+    st, m2 = simulate(st, cfg, 200)
+    m2 = jax.tree.map(np.asarray, m2)
+    # at impact the whole island must wake (instantly via parked pairs)
+    assert m2.awake_count.max() >= 4, "impact should wake the stack"
+    assert np.isfinite(np.asarray(st.bodies.pos)).all()
+
+
+def test_sleeping_bodies_dont_consume_contacts():
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    for i in range(4):
+        b.add_box((0.5, 0.5, 0.5), (i * 1.2, 0.6, 0))
+    cfg, st, m = run(b, 300)
+    assert m.awake_count[-1] == 0
+    # once everything sleeps, pairs are dropped -> no live contacts
+    assert m.contact_count[-1] == 0
+
+
+def test_sleep_disabled_keeps_everything_awake():
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))
+    cfg = b.auto_config(sleeping=False)
+    st = b.finalize(cfg)
+    st, m = simulate(st, cfg, 200)
+    assert np.asarray(st.sleep.awake)[1]
+    assert np.asarray(jax.tree.map(np.asarray, m).awake_count)[-1] == 1
+
+
+def test_half_settled_pile_partial_sleep():
+    """Boxes that settled sleep; a remote still-moving box stays awake and
+    does not keep the settled island up (statics do not transmit wake)."""
+    b = SceneBuilder()
+    b.add_static_box((80, 0.5, 80), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.55, 0))
+    b.add_box((0.5, 0.5, 0.5), (1.01, 0.55, 0))
+    # far-away box dropped late/high so it keeps moving past others' sleep time
+    b.add_box((0.5, 0.5, 0.5), (40.0, 12.0, 0))
+    cfg, st, m = run(b, 200)
+    awake = np.asarray(st.sleep.awake)
+    assert not awake[1] and not awake[2], "settled pair should sleep"
