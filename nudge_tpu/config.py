@@ -48,6 +48,7 @@ class SimConfig:
 
     # --- solver (SURVEY C10/C11) ---
     solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
+    solver: str = "auto"            # auto | xla | pallas | pallas_interpret (M5)
     max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
     baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
     slop: float = 0.005             # allowed penetration before bias kicks in

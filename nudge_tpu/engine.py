@@ -20,7 +20,21 @@ from .ops.contacts import collide
 from .ops.integrate import advance, apply_gravity
 from .ops.sleeping import update_sleep
 from .ops.solver import accumulated_world_impulse, setup_constraints, solve
+from .ops.solver_kernel import kernel_fits, solve_pallas
 from .state import SimState
+
+
+def _solve_dispatch(bodies, con, acc, cfg: SimConfig):
+    """Choose the Pallas mega-kernel (M5) when it fits VMEM and we are on
+    TPU; otherwise the XLA color-pass solve. Static decision at trace time."""
+    if cfg.solver == "pallas":
+        return solve_pallas(bodies, con, acc, cfg)
+    if cfg.solver == "pallas_interpret":
+        return solve_pallas(bodies, con, acc, cfg, interpret=True)
+    if (cfg.solver == "auto" and jax.default_backend() == "tpu"
+            and kernel_fits(cfg, bodies.pos.shape[0])):
+        return solve_pallas(bodies, con, acc, cfg)
+    return solve(bodies, con, acc, cfg)
 
 
 @struct.dataclass
@@ -42,7 +56,7 @@ def step(state: SimState, cfg: SimConfig):
     contacts = collide(state, cfg)
     warm = read_cached_impulses(state.cache, contacts)
     con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
-    bodies, acc = solve(bodies, con, acc, cfg)
+    bodies, acc = _solve_dispatch(bodies, con, acc, cfg)
     cache = write_cached_impulses(
         contacts, accumulated_world_impulse(con, acc)
     )

@@ -7,13 +7,15 @@ Design differences from the C++/SSE original, per SURVEY.md §7:
 
   - one *branchless, fixed-shape* per-pair function, `vmap`-ed over padded
     candidate-pair batches (the SIMD-lanes analog);
-  - the variable-size clip polygon lives in 8 fixed slots with a count +
-    validity mask; per-plane compaction is a tiny batched argsort;
+  - the face clip is CLOSED-FORM: the polygon "incident quad ∩ reference
+    rect" is spanned by 24 fixed candidate points (verts-in-rect,
+    corners-in-quad, edge×edge intersections), each with a validity mask —
+    no Sutherland-Hodgman scan, no compaction sorts;
   - face-vs-edge case selection is a `where` over both computed results.
 
 Contacts carry persistent feature ids (reference: 64-bit contact tags,
-SURVEY.md C8) built from clip-edge ids in the classic Box2D (inEdge, outEdge)
-scheme, so warm-start matching survives frame-to-frame manifold changes.
+SURVEY.md C8): the candidate slot index is a deterministic geometric feature,
+so warm-start matching survives frame-to-frame manifold changes.
 
 Conventions: contact `normal` points from collider A to collider B; `depth` > 0
 means penetrating; contact `pos` is in world space on the incident feature.
@@ -26,23 +28,20 @@ import jax.numpy as jnp
 
 from ..mathx import cross, dot, normalize, quat_to_mat
 
-# Internal clip-polygon slots (a quad clipped by 4 planes yields at most 8
-# vertices) and the reduced manifold size a box-box pair emits. Reduction to
-# 4 well-spread points keeps the solver's per-manifold work and the coloring
-# pressure bounded — the standard manifold-reduction every production engine
-# applies (the reference emits the raw clip output [MED]; 4-point reduction
-# is behavior-preserving for stacking).
-BOX_BOX_SLOTS = 8
-
+# A box-box manifold is reduced to 4 well-spread points; this keeps the
+# solver's per-manifold work and the coloring pressure bounded — the standard
+# manifold reduction every production engine applies (the reference emits the
+# raw clip output [MED]; 4-point reduction is behavior-preserving for
+# stacking).
 from ..config import CONTACT_POINTS as BOX_BOX_POINTS  # noqa: E402
 
 
 def _reduce_manifold(uv, depth, valid):
-    """Pick <=4 representative points from <=8 clipped candidates:
+    """Pick <=4 representative points from the clipped candidate set:
     deepest, farthest from it, then the two max-|area| extremes. Returns
-    (idx[4] i32, valid4[4] bool). `uv`[8,2] are reference-face plane coords."""
+    (idx[4] i32, valid4[4] bool). `uv`[K,2] are reference-face plane coords."""
     big_neg = jnp.float32(-1e30)
-    idxs = jnp.arange(BOX_BOX_SLOTS)
+    idxs = jnp.arange(uv.shape[0])
 
     s0 = jnp.where(valid, depth, big_neg)
     i0 = jnp.argmax(s0)
@@ -71,69 +70,6 @@ def _reduce_manifold(uv, depth, valid):
 
 _FACE_EDGE_BIAS = 0.95   # edge axis must beat the best face axis by 5% to win
 _ABS_EPS = 1e-5          # epsilon added to |R| (ODE-style near-parallel robustness)
-
-
-def _clip_quad_against_faceband(pts, feat_in, feat_out, count, h_u, h_v, u, v):
-    """Sutherland-Hodgman clip of a convex polygon (first `count` of 8 slots
-    in `pts`[8,3] valid, in reference-box frame) against the 4 side planes of
-    the reference face: |p[u]| <= h_u, |p[v]| <= h_v.
-
-    Vertices carry Box2D-style (in_edge, out_edge) feature ids: incident-face
-    edges are 0..3, reference side planes are 4..7.
-    Returns (pts, feat_in, feat_out, count).
-    """
-
-    def one_plane(carry, plane):
-        pts, f_in, f_out, n = carry
-        coord_axis, side, plane_id = plane
-        k = jnp.arange(BOX_BOX_SLOTS)
-        k_next = jnp.where(k + 1 >= n, 0, k + 1)
-
-        a = pts
-        b = pts[k_next]
-        h = jnp.where(coord_axis == u, h_u, h_v)
-        da = h - side * a[:, coord_axis]
-        db = h - side * b[:, coord_axis]
-        in_a = da >= 0.0
-        in_b = db >= 0.0
-        edge_live = k < n
-
-        # slot 2k: keep vertex a when inside; slot 2k+1: crossing point
-        keep_valid = edge_live & in_a
-        cross_valid = edge_live & (in_a != in_b)
-        denom = jnp.where(jnp.abs(da - db) > 1e-12, da - db, 1e-12)
-        pc = a + (da / denom)[:, None] * (b - a)
-        # exiting (a inside): in_edge = polygon edge (= a.out), out_edge = plane
-        # entering: in_edge = plane, out_edge = polygon edge (= a.out)
-        c_in = jnp.where(in_a, f_out, 4 + plane_id)
-        c_out = jnp.where(in_a, 4 + plane_id, f_out)
-
-        # interleave a0, x0, a1, x1, ... to preserve polygon winding
-        out_pts = jnp.stack([a, pc], axis=1).reshape(2 * BOX_BOX_SLOTS, 3)
-        out_fin = jnp.stack([f_in, c_in], axis=1).reshape(-1)
-        out_fout = jnp.stack([f_out, c_out], axis=1).reshape(-1)
-        out_valid = jnp.stack([keep_valid, cross_valid], axis=1).reshape(-1)
-
-        # stable-compact valid slots to the front; convex => at most 8 survive
-        key = (~out_valid) * (2 * BOX_BOX_SLOTS) + jnp.arange(2 * BOX_BOX_SLOTS)
-        perm = jnp.argsort(key)
-        new_n = jnp.minimum(jnp.sum(out_valid.astype(jnp.int32)), BOX_BOX_SLOTS)
-        return (
-            out_pts[perm][:BOX_BOX_SLOTS],
-            out_fin[perm][:BOX_BOX_SLOTS],
-            out_fout[perm][:BOX_BOX_SLOTS],
-            new_n,
-        ), None
-
-    planes = (
-        jnp.stack([u, u, v, v]).astype(jnp.int32),
-        jnp.array([1.0, -1.0, 1.0, -1.0], jnp.float32),
-        jnp.arange(4, dtype=jnp.int32),
-    )
-    (pts, feat_in, feat_out, count), _ = jax.lax.scan(
-        one_plane, (pts, feat_in, feat_out, count), planes
-    )
-    return pts, feat_in, feat_out, count
 
 
 def box_box(ha, qa, pa, hb, qb, pb):
@@ -216,27 +152,71 @@ def box_box(ha, qa, pa, hb, qb, pb):
         + su[:, None] * h_inc[b1] * e[b1][None, :]
         + sv[:, None] * h_inc[b2] * e[b2][None, :]
     )                                            # [4,3] incident frame, CCW
-    pts0 = corners_inc @ R_ri.T + t_ri           # [4,3] reference frame
-    pts = jnp.zeros((BOX_BOX_SLOTS, 3), jnp.float32).at[:4].set(pts0)
-    feat_in = jnp.zeros((BOX_BOX_SLOTS,), jnp.int32).at[:4].set(
-        jnp.array([3, 0, 1, 2], jnp.int32)       # corner k: in_edge = (k-1)%4
-    )
-    feat_out = jnp.zeros((BOX_BOX_SLOTS,), jnp.int32).at[:4].set(
-        jnp.arange(4, dtype=jnp.int32)           # corner k: out_edge = k
-    )
+    pts0 = corners_inc @ R_ri.T + t_ri           # [4,3] reference frame, CCW
 
-    pts, feat_in, feat_out, n_clip = _clip_quad_against_faceband(
-        pts, feat_in, feat_out, jnp.int32(4), h_ref[u], h_ref[v], u, v
-    )
+    # Closed-form clip: the polygon "incident quad ∩ reference rect" is
+    # spanned by 24 fixed candidates — 4 incident verts inside the rect,
+    # 4 rect corners inside the quad, 16 quad-edge x rect-edge intersections.
+    # Pure elementwise math (no scans/sorts — replaces the sequential
+    # Sutherland-Hodgman of the C++ reference, SURVEY C6); each candidate
+    # slot is its own frame-stable feature id.
+    eps = 1e-6
+    h_u, h_v, h_w = h_ref[u], h_ref[v], h_ref[w]
+    qu = pts0[:, u]
+    qv = pts0[:, v]
+    qn = jnp.arange(4)
+    qu_n = qu[(qn + 1) % 4]
+    qv_n = qv[(qn + 1) % 4]
 
-    slot = jnp.arange(BOX_BOX_SLOTS)
-    depth_all = h_ref[w] - nsign * pts[:, w]     # > 0 penetrating
-    valid_all = (slot < n_clip) & (depth_all > 0.0)
+    # type A: incident verts inside the rect
+    pos_a3 = pts0                                              # [4,3]
+    val_a = (jnp.abs(qu) <= h_u + eps) & (jnp.abs(qv) <= h_v + eps)
 
-    # reduce <=8 clip points to <=4 representatives (see _reduce_manifold)
-    uv = jnp.stack([pts[:, u], pts[:, v]], axis=-1)
+    # type B: rect corners inside the incident quad (2D half-plane tests)
+    cu = jnp.array([1.0, 1.0, -1.0, -1.0]) * h_u               # [4]
+    cv = jnp.array([1.0, -1.0, -1.0, 1.0]) * h_v
+    eu = (qu_n - qu)[None, :]                                  # [1,4] edges
+    ev = (qv_n - qv)[None, :]
+    crossc = eu * (cv[:, None] - qv[None, :]) - ev * (cu[:, None] - qu[None, :])
+    area2 = jnp.sum(qu * qv_n - qu_n * qv)
+    sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
+    val_b = jnp.all(sgn * crossc >= -eps, axis=1)              # [4]
+    # w from the incident-face plane  n_inc·p = d
+    n_inc = R_ri[:, b_axis] * s_inc
+    d_pl = jnp.sum(n_inc * pts0[0])
+    n_w_safe = jnp.where(jnp.abs(n_inc[w]) > 1e-3, n_inc[w], 1e-3)
+    cw = (d_pl - n_inc[u] * cu - n_inc[v] * cv) / n_w_safe
+    pos_b3 = (jnp.zeros((4, 3))
+              .at[:, u].set(cu).at[:, v].set(cv).at[:, w].set(cw))
+    val_b &= jnp.abs(n_inc[w]) > 1e-3
+
+    # type C: 4 incident edges x 4 rect border lines
+    # lines 0,1: u = ±h_u (check v in band); lines 2,3: v = ±h_v (check u)
+    line_val = jnp.array([h_u, -h_u, h_v, -h_v])               # [4]
+    p_line = jnp.where(jnp.arange(4) < 2, 1.0, 0.0)            # 1 -> u-line
+    src = jnp.where(p_line[None, :] > 0.5, qu[:, None], qv[:, None])  # [4e,4l]
+    dst = jnp.where(p_line[None, :] > 0.5, qu_n[:, None], qv_n[:, None])
+    den = dst - src
+    den = jnp.where(jnp.abs(den) > 1e-9, den, 1e-9)
+    tt = (line_val[None, :] - src) / den                       # [4,4]
+    other = jnp.where(p_line[None, :] > 0.5, qv[:, None], qu[:, None])
+    other_n = jnp.where(p_line[None, :] > 0.5, qv_n[:, None], qu_n[:, None])
+    oth = other + tt * (other_n - other)
+    oth_h = jnp.where(p_line[None, :] > 0.5, h_v, h_u)
+    val_c = (tt >= -eps) & (tt <= 1.0 + eps) & (jnp.abs(oth) <= oth_h + eps)
+    pos_c3 = (pts0[:, None, :]
+              + tt[:, :, None] * (pts0[(qn + 1) % 4][:, None, :]
+                                  - pts0[:, None, :]))          # [4,4,3]
+
+    cand = jnp.concatenate([pos_a3, pos_b3, pos_c3.reshape(16, 3)], axis=0)
+    cand_valid = jnp.concatenate([val_a, val_b, val_c.reshape(16)])
+    depth_all = h_w - nsign * cand[:, w]                       # [24]
+    valid_all = cand_valid & (depth_all > 0.0)
+
+    # reduce <=24 candidates to <=4 representatives (see _reduce_manifold)
+    uv = jnp.stack([cand[:, u], cand[:, v]], axis=-1)
     keep_idx, keep_valid = _reduce_manifold(uv, depth_all, valid_all)
-    pts4 = pts[keep_idx]
+    pts4 = cand[keep_idx]
     depth_f = depth_all[keep_idx]
     valid_f = keep_valid & valid_all[keep_idx]
 
@@ -246,12 +226,12 @@ def box_box(ha, qa, pa, hb, qb, pb):
     n_ref_world = Rref[:, axis] * nsign          # ref face outward normal
     normal_f = jnp.where(ref_is_b, -n_ref_world, n_ref_world)  # A -> B
 
+    # feature id = candidate slot (frame-stable) + face identity bits
     feat_f = (
-        feat_in[keep_idx] * 8
-        + feat_out[keep_idx]
-        + (ref_is_b.astype(jnp.int32) << 6)
-        + (axis.astype(jnp.int32) << 7)
-        + ((nsign > 0).astype(jnp.int32) << 9)
+        keep_idx.astype(jnp.int32)
+        + (ref_is_b.astype(jnp.int32) << 5)
+        + (axis.astype(jnp.int32) << 6)
+        + ((nsign > 0).astype(jnp.int32) << 8)
     )
 
     # ------------------------------------------------------------------
