@@ -90,22 +90,38 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
     dyn = bodies.inv_mass > 0.0
     dyn_a = dyn[man.body_a]
     dyn_b = dyn[man.body_b]
-    idx = jnp.arange(man.pair.shape[0], dtype=jnp.int32)
+    m = man.pair.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
 
-    def round_fn(c, color):
+    def round_fn(state):
+        c, color = state
+        # Luby-style random priority per round: XOR-ing the index with a
+        # hashed round constant is a bijection (tokens stay unique, so the
+        # conflict-free invariant holds exactly) but randomizes the order,
+        # making per-round independent sets much larger than min-index greedy
+        # (which stalls on chains). Deterministic across runs.
+        h = (c + 1) * jnp.uint32(0x9E3779B9).astype(jnp.int32)
+        h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B).astype(jnp.int32)
+        token = idx ^ (h & jnp.int32(0x3FFFFFFF))
         uncolored = man.valid & (color < 0)
-        token_a = jnp.where(uncolored & dyn_a, idx, _INF_I32)
-        token_b = jnp.where(uncolored & dyn_b, idx, _INF_I32)
+        token_a = jnp.where(uncolored & dyn_a, token, _INF_I32)
+        token_b = jnp.where(uncolored & dyn_b, token, _INF_I32)
         claim = jnp.full((n_bodies,), _INF_I32, jnp.int32)
         claim = claim.at[man.body_a].min(token_a)
         claim = claim.at[man.body_b].min(token_b)
-        ok_a = ~dyn_a | (claim[man.body_a] == idx)
-        ok_b = ~dyn_b | (claim[man.body_b] == idx)
+        ok_a = ~dyn_a | (claim[man.body_a] == token)
+        ok_b = ~dyn_b | (claim[man.body_b] == token)
         win = uncolored & ok_a & ok_b
-        return jnp.where(win, c, color)
+        return c + 1, jnp.where(win, c, color)
+
+    def has_uncolored(state):
+        c, color = state
+        return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
 
     color = jnp.full_like(man.pair, -1)
-    color = jax.lax.fori_loop(0, cfg.max_colors - 1, round_fn, color)
+    _, color = jax.lax.while_loop(
+        has_uncolored, round_fn, (jnp.int32(0), color)
+    )
     spilled = man.valid & (color < 0)
     color = jnp.where(spilled, cfg.max_colors - 1, color)
     color = jnp.where(man.valid, color, cfg.max_colors)  # park invalid
