@@ -86,22 +86,32 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     gid = jnp.arange(g, dtype=jnp.int32)
     sorted_key, order = jax.lax.sort((key, gid), num_keys=1)
 
-    # 27 neighbor cell keys per collider
-    off = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
-                    axis=-1).reshape(27, 3)
-    nkeys = _pack_cells(coords[:, None, :] + off[None, :, :])   # [G,27]
+    # Half stencil: the home cell plus the 13 lexicographically-positive
+    # neighbor offsets. An overlapping pair's cells differ by one step δ in
+    # {-1,0,1}³; exactly one of ±δ is in the positive half, so each pair is
+    # found exactly once — from i when home(j) = home(i) + δ⁺ (plus j > i
+    # inside the home cell). Halves the candidate-slot arrays vs a full
+    # 27-cell scan.
+    import numpy as _np
+    off_all = _np.stack(
+        _np.meshgrid(*([_np.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(27, 3)
+    lex = off_all[:, 0] * 9 + off_all[:, 1] * 3 + off_all[:, 2]
+    off = jnp.asarray(off_all[lex >= 0])                         # [14,3], 0 first
+    nkeys = _pack_cells(coords[:, None, :] + off[None, :, :])    # [G,14]
 
     qlo = jnp.searchsorted(sorted_key, nkeys, side="left")
     qhi = jnp.searchsorted(sorted_key, nkeys, side="right")
     density_overflow = jnp.any((qhi - qlo) > cfg.grid_density)
 
     k = jnp.arange(cfg.grid_density)
-    pos = qlo[..., None] + k                                     # [G,27,K]
+    pos = qlo[..., None] + k                                     # [G,14,K]
     live = (pos < qhi[..., None]) & in_grid[:, None, None]
-    j = order[jnp.minimum(pos, g - 1)]                           # [G,27,K]
+    j = order[jnp.minimum(pos, g - 1)]                           # [G,14,K]
 
     i = gid[:, None, None]
-    pair_live = live & (j > i)
+    same_cell = (jnp.sum(jnp.abs(off), axis=-1) == 0)[None, :, None]
+    pair_live = live & jnp.where(same_cell, j > i, j != i)
     overlap = jnp.all(
         (lo[i] <= hi[j]) & (lo[j] <= hi[i]), axis=-1
     )
@@ -125,12 +135,11 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     b_b = jnp.maximum(bi, bj)
 
     # --- compact all candidates once, then split by class ---
-    flat_a = jnp.concatenate([
-        jnp.broadcast_to(i, keep.shape).reshape(-1), b_a.reshape(-1)
-    ])
-    flat_b = jnp.concatenate([
-        j.reshape(-1), b_b.reshape(-1)
-    ])
+    # canonical order a < b (cross-cell candidates may come out j < i)
+    g_i = jnp.broadcast_to(i, keep.shape).reshape(-1)
+    g_j = j.reshape(-1)
+    flat_a = jnp.concatenate([jnp.minimum(g_i, g_j), b_a.reshape(-1)])
+    flat_b = jnp.concatenate([jnp.maximum(g_i, g_j), b_b.reshape(-1)])
     flat_keep = jnp.concatenate([keep.reshape(-1), b_keep.reshape(-1)])
 
     cap = cfg.total_pairs

@@ -102,7 +102,7 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         # (which stalls on chains). Deterministic across runs.
         h = (c + 1) * jnp.uint32(0x9E3779B9).astype(jnp.int32)
         h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B).astype(jnp.int32)
-        token = idx ^ (h & jnp.int32(0x3FFFFFFF))
+        token = idx ^ (h & jnp.int32(0x3FFFFF))  # <2^23: f32-exact
         uncolored = man.valid & (color < 0)
         token_a = jnp.where(uncolored & dyn_a, token, _INF_I32)
         token_b = jnp.where(uncolored & dyn_b, token, _INF_I32)
@@ -118,10 +118,20 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         c, color = state
         return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
 
-    color = jnp.full_like(man.pair, -1)
-    _, color = jax.lax.while_loop(
-        has_uncolored, round_fn, (jnp.int32(0), color)
-    )
+    if cfg.solver in ("pallas", "pallas_interpret") or (
+            cfg.solver == "auto" and jax.default_backend() == "tpu"):
+        from .coloring_kernel import color_manifolds_pallas
+
+        color = color_manifolds_pallas(
+            man.body_a, man.body_b, man.valid, dyn, n_bodies,
+            cfg.max_colors, interpret=(cfg.solver == "pallas_interpret"))
+        color = jnp.where(color == cfg.max_colors, -1, color)
+        color = jnp.where(man.valid, color, -1)
+    else:
+        color = jnp.full_like(man.pair, -1)
+        _, color = jax.lax.while_loop(
+            has_uncolored, round_fn, (jnp.int32(0), color)
+        )
     spilled = man.valid & (color < 0)
     color = jnp.where(spilled, cfg.max_colors - 1, color)
     color = jnp.where(man.valid, color, cfg.max_colors)  # park invalid
