@@ -1,0 +1,435 @@
+// nudge_ref — a single-threaded, data-oriented C++ rigid-body engine used as
+// the CPU baseline for the TPU build's benchmarks.
+//
+// The upstream reference (rasmusbarr/nudge) could not be mounted in this
+// sandbox (see SURVEY.md §0), so this engine re-implements the same pipeline
+// from scratch at the same algorithmic fidelity to provide the "CPU nudge"
+// number the north star is measured against (BASELINE.md row 2):
+//   sorted sweep-and-prune broadphase -> box-box SAT + incident-face clipping
+//   with feature-tagged contacts -> warm-started sequential-impulse solver
+//   (20 Gauss-Seidel iterations, accumulated clamping, box friction) ->
+//   symplectic Euler integration.
+// Compiled -O3 -march=native so the hot loops auto-vectorize; single thread
+// like the reference. This is original code, not a port.
+//
+// Usage: nudge_ref <n_bodies> <steps> [settle_steps]
+// Prints one JSON line with steps/sec over the measured window.
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cstdint>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <unordered_map>
+#include <chrono>
+
+struct V3 { float x, y, z; };
+static inline V3 operator+(V3 a, V3 b) { return {a.x+b.x, a.y+b.y, a.z+b.z}; }
+static inline V3 operator-(V3 a, V3 b) { return {a.x-b.x, a.y-b.y, a.z-b.z}; }
+static inline V3 operator*(V3 a, float s) { return {a.x*s, a.y*s, a.z*s}; }
+static inline float dot(V3 a, V3 b) { return a.x*b.x + a.y*b.y + a.z*b.z; }
+static inline V3 cross(V3 a, V3 b) {
+  return {a.y*b.z - a.z*b.y, a.z*b.x - a.x*b.z, a.x*b.y - a.y*b.x};
+}
+
+struct Quat { float x, y, z, w; };
+static inline Quat qmul(Quat a, Quat b) {
+  return {a.w*b.x + a.x*b.w + a.y*b.z - a.z*b.y,
+          a.w*b.y - a.x*b.z + a.y*b.w + a.z*b.x,
+          a.w*b.z + a.x*b.y - a.y*b.x + a.z*b.w,
+          a.w*b.w - a.x*b.x - a.y*b.y - a.z*b.z};
+}
+struct M3 { float m[3][3]; };
+static inline M3 qmat(Quat q) {
+  float x=q.x, y=q.y, z=q.z, w=q.w;
+  M3 r;
+  r.m[0][0]=1-2*(y*y+z*z); r.m[0][1]=2*(x*y-w*z); r.m[0][2]=2*(x*z+w*y);
+  r.m[1][0]=2*(x*y+w*z); r.m[1][1]=1-2*(x*x+z*z); r.m[1][2]=2*(y*z-w*x);
+  r.m[2][0]=2*(x*z-w*y); r.m[2][1]=2*(y*z+w*x); r.m[2][2]=1-2*(x*x+y*y);
+  return r;
+}
+static inline V3 mulv(const M3& a, V3 v) {
+  return {a.m[0][0]*v.x + a.m[0][1]*v.y + a.m[0][2]*v.z,
+          a.m[1][0]*v.x + a.m[1][1]*v.y + a.m[1][2]*v.z,
+          a.m[2][0]*v.x + a.m[2][1]*v.y + a.m[2][2]*v.z};
+}
+static inline V3 mulvT(const M3& a, V3 v) {
+  return {a.m[0][0]*v.x + a.m[1][0]*v.y + a.m[2][0]*v.z,
+          a.m[0][1]*v.x + a.m[1][1]*v.y + a.m[2][1]*v.z,
+          a.m[0][2]*v.x + a.m[1][2]*v.y + a.m[2][2]*v.z};
+}
+
+// ---------------------------------------------------------------------------
+// world state (SoA)
+// ---------------------------------------------------------------------------
+struct World {
+  int n = 0;
+  std::vector<V3> pos, vel, angvel;
+  std::vector<Quat> quat;
+  std::vector<V3> half;        // box half extents
+  std::vector<float> inv_mass;
+  std::vector<V3> inv_inertia; // diagonal, body frame
+  float dt = 1.f / 60.f;
+  float gravity = -9.81f;
+  float slop = 0.005f, baumgarte = 0.2f, mu = 0.5f;
+  int iters = 20;
+
+  int add_box(V3 h, V3 p, Quat q, float mass) {
+    pos.push_back(p); quat.push_back(q);
+    vel.push_back({0,0,0}); angvel.push_back({0,0,0});
+    half.push_back(h);
+    if (mass > 0) {
+      inv_mass.push_back(1.f / mass);
+      float ix = mass/3.f*(h.y*h.y + h.z*h.z);
+      float iy = mass/3.f*(h.x*h.x + h.z*h.z);
+      float iz = mass/3.f*(h.x*h.x + h.y*h.y);
+      inv_inertia.push_back({1.f/ix, 1.f/iy, 1.f/iz});
+    } else {
+      inv_mass.push_back(0.f);
+      inv_inertia.push_back({0,0,0});
+    }
+    return n++;
+  }
+};
+
+struct Contact {
+  int a, b;
+  V3 pos, normal;   // normal a->b
+  float depth;
+  uint64_t tag;     // (pair<<8) | feature — warm-start identity
+};
+
+// ---------------------------------------------------------------------------
+// broadphase: sort by x, sweep (the reference's approach, SURVEY C5)
+// ---------------------------------------------------------------------------
+static void broadphase(const World& w, std::vector<std::pair<int,int>>& pairs) {
+  struct Entry { float lo, hi; int i; V3 mn, mx; };
+  static std::vector<Entry> es;
+  es.clear(); es.reserve(w.n);
+  for (int i = 0; i < w.n; i++) {
+    M3 R = qmat(w.quat[i]);
+    V3 e = {std::fabs(R.m[0][0])*w.half[i].x + std::fabs(R.m[0][1])*w.half[i].y + std::fabs(R.m[0][2])*w.half[i].z,
+            std::fabs(R.m[1][0])*w.half[i].x + std::fabs(R.m[1][1])*w.half[i].y + std::fabs(R.m[1][2])*w.half[i].z,
+            std::fabs(R.m[2][0])*w.half[i].x + std::fabs(R.m[2][1])*w.half[i].y + std::fabs(R.m[2][2])*w.half[i].z};
+    V3 mn = w.pos[i] - e, mx = w.pos[i] + e;
+    es.push_back({mn.x, mx.x, i, mn, mx});
+  }
+  std::sort(es.begin(), es.end(), [](const Entry& a, const Entry& b){ return a.lo < b.lo; });
+  pairs.clear();
+  for (size_t i = 0; i < es.size(); i++) {
+    for (size_t j = i + 1; j < es.size() && es[j].lo <= es[i].hi; j++) {
+      if (w.inv_mass[es[i].i] == 0 && w.inv_mass[es[j].i] == 0) continue;
+      if (es[i].mn.y > es[j].mx.y || es[j].mn.y > es[i].mx.y) continue;
+      if (es[i].mn.z > es[j].mx.z || es[j].mn.z > es[i].mx.z) continue;
+      int a = es[i].i, b = es[j].i;
+      pairs.emplace_back(std::min(a,b), std::max(a,b));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// narrowphase: box-box SAT + incident face clip (SURVEY C6)
+// ---------------------------------------------------------------------------
+static int box_box(const World& w, int ia, int ib, Contact* out) {
+  M3 Ra = qmat(w.quat[ia]), Rb = qmat(w.quat[ib]);
+  V3 ha = w.half[ia], hb = w.half[ib];
+  // R = Ra^T Rb, t = Ra^T (pb - pa)
+  M3 R; V3 cols[3];
+  for (int j = 0; j < 3; j++) {
+    V3 bj = {Rb.m[0][j], Rb.m[1][j], Rb.m[2][j]};
+    V3 c = mulvT(Ra, bj);
+    R.m[0][j]=c.x; R.m[1][j]=c.y; R.m[2][j]=c.z;
+    cols[j]=c;
+  }
+  V3 t = mulvT(Ra, w.pos[ib] - w.pos[ia]);
+  float absR[3][3];
+  for (int i=0;i<3;i++) for(int j=0;j<3;j++) absR[i][j]=std::fabs(R.m[i][j])+1e-5f;
+  float ta[3]={t.x,t.y,t.z}, haa[3]={ha.x,ha.y,ha.z}, hba[3]={hb.x,hb.y,hb.z};
+
+  float best = -1e30f; int axis = -1; bool refB = false;
+  for (int i=0;i<3;i++) {
+    float s = std::fabs(ta[i]) - (haa[i] + absR[i][0]*hba[0] + absR[i][1]*hba[1] + absR[i][2]*hba[2]);
+    if (s > 0) return 0;
+    if (s > best) { best = s; axis = i; refB = false; }
+  }
+  for (int j=0;j<3;j++) {
+    float tb = ta[0]*R.m[0][j] + ta[1]*R.m[1][j] + ta[2]*R.m[2][j];
+    float s = std::fabs(tb) - (hba[j] + absR[0][j]*haa[0] + absR[1][j]*haa[1] + absR[2][j]*haa[2]);
+    if (s > 0) return 0;
+    if (s > best) { best = s; axis = j; refB = true; }
+  }
+  float bestE = -1e30f; int ei=-1, ej=-1;
+  for (int i=0;i<3;i++) for (int j=0;j<3;j++) {
+    int i1=(i+1)%3, i2=(i+2)%3, j1=(j+1)%3, j2=(j+2)%3;
+    float L2 = R.m[i1][j]*R.m[i1][j] + R.m[i2][j]*R.m[i2][j];
+    if (L2 < 1e-6f) continue;
+    float num = std::fabs(ta[i2]*R.m[i1][j] - ta[i1]*R.m[i2][j])
+              - haa[i1]*absR[i2][j] - haa[i2]*absR[i1][j]
+              - hba[j1]*absR[i][j2] - hba[j2]*absR[i][j1];
+    float s = num / std::sqrt(L2);
+    if (s > 0) return 0;
+    if (s > bestE) { bestE = s; ei=i; ej=j; }
+  }
+
+  if (ei >= 0 && -bestE < -best * 0.95f) {
+    // edge-edge contact
+    V3 eA = {Ra.m[0][ei], Ra.m[1][ei], Ra.m[2][ei]};
+    V3 eBw = {Rb.m[0][ej], Rb.m[1][ej], Rb.m[2][ej]};
+    V3 nrm = cross(eA, eBw);
+    float L = std::sqrt(dot(nrm,nrm)); if (L < 1e-9f) return 0;
+    nrm = nrm * (1.f/L);
+    if (dot(nrm, w.pos[ib]-w.pos[ia]) < 0) nrm = nrm * -1.f;
+    // supporting edge centers
+    V3 ca = w.pos[ia], cb = w.pos[ib];
+    for (int k=0;k<3;k++) if (k!=ei) {
+      V3 ax = {Ra.m[0][k], Ra.m[1][k], Ra.m[2][k]};
+      ca = ca + ax * (dot(ax, nrm) > 0 ? haa[k] : -haa[k]);
+    }
+    for (int k=0;k<3;k++) if (k!=ej) {
+      V3 ax = {Rb.m[0][k], Rb.m[1][k], Rb.m[2][k]};
+      cb = cb + ax * (dot(ax, nrm) > 0 ? -hba[k] : hba[k]);
+    }
+    V3 r = cb - ca; float bdd = dot(eA, eBw);
+    float den = std::max(1.f - bdd*bdd, 1e-9f);
+    float s = (dot(eA,r) - bdd*dot(eBw,r)) / den;
+    float u = (bdd*dot(eA,r) - dot(eBw,r)) / den;
+    V3 p = ((ca + eA*s) + (cb + eBw*u)) * 0.5f;
+    out[0] = {ia, ib, p, nrm, -bestE, (uint64_t)(200 + ei*3 + ej)};
+    return 1;
+  }
+
+  // face contact: clip incident face of the other box against ref face
+  const M3& Rr = refB ? Rb : Ra;
+  V3 pr = refB ? w.pos[ib] : w.pos[ia];
+  V3 hr = refB ? hb : ha, hi_ = refB ? ha : hb;
+  const M3& Ri = refB ? Ra : Rb;
+  V3 pi_ = refB ? w.pos[ia] : w.pos[ib];
+  // ref frame quantities
+  V3 ti = mulvT(Rr, pi_ - pr);
+  float tiX[3]={ti.x,ti.y,ti.z};
+  float nsign = tiX[axis] >= 0 ? 1.f : -1.f;
+  int u = (axis+1)%3, v = (axis+2)%3;
+  float hrX[3]={hr.x,hr.y,hr.z}, hiX[3]={hi_.x,hi_.y,hi_.z};
+  // incident->ref rotation
+  M3 Rri;
+  for (int r2=0;r2<3;r2++) for (int c=0;c<3;c++) {
+    float s2=0; for (int k=0;k<3;k++) s2 += Rr.m[k][r2]*Ri.m[k][c];
+    Rri.m[r2][c]=s2;
+  }
+  // incident face: most anti-parallel axis
+  int bax=0; float bv=1e30f;
+  for (int j=0;j<3;j++) { float d = Rri.m[axis][j]*nsign; float a2=d; if (a2<bv){bv=a2;bax=j;} if(-a2<bv){bv=-a2;bax=j;} }
+  bv = Rri.m[axis][bax]*nsign;
+  float sinc = bv > 0 ? -1.f : 1.f;
+  int b1=(bax+1)%3, b2=(bax+2)%3;
+  // 4 incident corners in ref frame
+  V3 quad[4];
+  float su[4]={1,1,-1,-1}, sv[4]={1,-1,-1,1};
+  for (int k=0;k<4;k++) {
+    V3 c = {0,0,0};
+    float cf[3]; cf[bax]=sinc*hiX[bax]; cf[b1]=su[k]*hiX[b1]; cf[b2]=sv[k]*hiX[b2];
+    V3 cl = {cf[0], cf[1], cf[2]};
+    V3 p = mulv(Rri, cl) + ti;
+    quad[k] = p;
+  }
+  // Sutherland-Hodgman against |u|<=hu, |v|<=hv
+  V3 poly[16]; int np = 4;
+  for (int k=0;k<4;k++) poly[k]=quad[k];
+  float bounds[4] = {hrX[u], -hrX[u], hrX[v], -hrX[v]};
+  int axes[4] = {u, u, v, v};
+  float sides[4] = {1, -1, 1, -1};
+  for (int pl2=0; pl2<4 && np>0; pl2++) {
+    V3 tmp[16]; int m2=0;
+    for (int k=0;k<np;k++) {
+      V3 A = poly[k], B = poly[(k+1)%np];
+      float da = bounds[pl2]*sides[pl2] - sides[pl2]*((float*)&A)[axes[pl2]];
+      float db = bounds[pl2]*sides[pl2] - sides[pl2]*((float*)&B)[axes[pl2]];
+      if (da >= 0) tmp[m2++] = A;
+      if ((da >= 0) != (db >= 0)) {
+        float tt = da / (da - db);
+        tmp[m2++] = A + (B - A) * tt;
+      }
+    }
+    np = m2; for (int k=0;k<np;k++) poly[k]=tmp[k];
+  }
+  int cnt = 0;
+  for (int k=0;k<np && cnt<8;k++) {
+    float pw = ((float*)&poly[k])[axis];
+    float depth = hrX[axis] - nsign*pw;
+    if (depth <= 0) continue;
+    V3 wp = mulv(Rr, poly[k]) + pr;
+    V3 nrm = {Rr.m[0][axis]*nsign, Rr.m[1][axis]*nsign, Rr.m[2][axis]*nsign};
+    if (refB) nrm = nrm * -1.f;
+    out[cnt] = {ia, ib, wp, nrm, depth, (uint64_t)(k + (refB?32:0) + axis*64)};
+    cnt++;
+  }
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// solver: warm-started sequential impulses (SURVEY C10/C11)
+// ---------------------------------------------------------------------------
+struct CC {
+  int a, b;
+  V3 n, t1, t2, ra, rb;
+  V3 jna, jnb, jt1a, jt1b, jt2a, jt2b;
+  float mn, mt1, mt2, bias;
+  float ln, lt1, lt2;
+  uint64_t tag;
+};
+
+static inline V3 inv_inertia_world(const M3& R, V3 ii, V3 x) {
+  V3 l = mulvT(R, x);
+  l = {l.x*ii.x, l.y*ii.y, l.z*ii.z};
+  return mulv(R, l);
+}
+
+static void step(World& w, std::unordered_map<uint64_t, V3>& cache) {
+  static std::vector<std::pair<int,int>> pairs;
+  static std::vector<Contact> contacts;
+  static std::vector<CC> ccs;
+  broadphase(w, pairs);
+
+  contacts.clear();
+  Contact tmp[8];
+  for (auto& pr : pairs) {
+    int c = box_box(w, pr.first, pr.second, tmp);
+    for (int k=0;k<c;k++) {
+      tmp[k].tag |= ((uint64_t)pr.first << 40) | ((uint64_t)pr.second << 16);
+      contacts.push_back(tmp[k]);
+    }
+  }
+
+  // gravity
+  for (int i=0;i<w.n;i++) if (w.inv_mass[i]>0) w.vel[i].y += w.gravity * w.dt;
+
+  // setup + warm start
+  ccs.clear(); ccs.reserve(contacts.size());
+  for (auto& c : contacts) {
+    CC k;
+    k.a=c.a; k.b=c.b; k.n=c.normal; k.tag=c.tag;
+    V3 nn = c.normal;
+    V3 t1 = std::fabs(nn.x) > 0.9f ? cross(nn, V3{0,1,0}) : cross(nn, V3{1,0,0});
+    t1 = t1 * (1.f/std::sqrt(std::max(dot(t1,t1),1e-12f)));
+    V3 t2 = cross(nn, t1);
+    k.t1=t1; k.t2=t2;
+    k.ra = c.pos - w.pos[c.a]; k.rb = c.pos - w.pos[c.b];
+    M3 Raq = qmat(w.quat[c.a]), Rbq = qmat(w.quat[c.b]);
+    auto eff = [&](V3 d, V3& ja, V3& jb) {
+      V3 rna = cross(k.ra, d), rnb = cross(k.rb, d);
+      ja = inv_inertia_world(Raq, w.inv_inertia[c.a], rna);
+      jb = inv_inertia_world(Rbq, w.inv_inertia[c.b], rnb);
+      float kk = w.inv_mass[c.a] + w.inv_mass[c.b] + dot(rna, ja) + dot(rnb, jb);
+      return kk > 0 ? 1.f/kk : 0.f;
+    };
+    k.mn = eff(nn, k.jna, k.jnb);
+    k.mt1 = eff(t1, k.jt1a, k.jt1b);
+    k.mt2 = eff(t2, k.jt2a, k.jt2b);
+    k.bias = w.baumgarte / w.dt * std::max(0.f, c.depth - w.slop);
+    auto it = cache.find(c.tag);
+    V3 P = it != cache.end() ? it->second : V3{0,0,0};
+    k.ln = std::max(dot(P, nn), 0.f);
+    float bound = w.mu * k.ln;
+    k.lt1 = std::min(std::max(dot(P,t1), -bound), bound);
+    k.lt2 = std::min(std::max(dot(P,t2), -bound), bound);
+    // apply warm impulse
+    V3 Pw = nn*k.ln + t1*k.lt1 + t2*k.lt2;
+    w.vel[c.a] = w.vel[c.a] - Pw * w.inv_mass[c.a];
+    w.vel[c.b] = w.vel[c.b] + Pw * w.inv_mass[c.b];
+    w.angvel[c.a] = w.angvel[c.a] - (k.jna*k.ln + k.jt1a*k.lt1 + k.jt2a*k.lt2);
+    w.angvel[c.b] = w.angvel[c.b] + (k.jnb*k.ln + k.jt1b*k.lt1 + k.jt2b*k.lt2);
+    ccs.push_back(k);
+  }
+
+  // iterate (the reference's apply_impulses hot loop)
+  for (int it=0; it<w.iters; it++) {
+    for (auto& k : ccs) {
+      V3 vrel = w.vel[k.b] + cross(w.angvel[k.b], k.rb)
+              - w.vel[k.a] - cross(w.angvel[k.a], k.ra);
+      float vn = dot(vrel, k.n);
+      float dln = (k.bias - vn) * k.mn;
+      float nl = std::max(k.ln + dln, 0.f); dln = nl - k.ln; k.ln = nl;
+      float bound = w.mu * k.ln;
+      float vt1 = dot(vrel, k.t1);
+      float n1 = std::min(std::max(k.lt1 - vt1*k.mt1, -bound), bound);
+      float dl1 = n1 - k.lt1; k.lt1 = n1;
+      float vt2 = dot(vrel, k.t2);
+      float n2 = std::min(std::max(k.lt2 - vt2*k.mt2, -bound), bound);
+      float dl2 = n2 - k.lt2; k.lt2 = n2;
+      V3 P = k.n*dln + k.t1*dl1 + k.t2*dl2;
+      w.vel[k.a] = w.vel[k.a] - P * w.inv_mass[k.a];
+      w.vel[k.b] = w.vel[k.b] + P * w.inv_mass[k.b];
+      w.angvel[k.a] = w.angvel[k.a] - (k.jna*dln + k.jt1a*dl1 + k.jt2a*dl2);
+      w.angvel[k.b] = w.angvel[k.b] + (k.jnb*dln + k.jt1b*dl1 + k.jt2b*dl2);
+    }
+  }
+
+  // write cache
+  cache.clear();
+  for (auto& k : ccs)
+    cache[k.tag] = k.n*k.ln + k.t1*k.lt1 + k.t2*k.lt2;
+
+  // integrate
+  for (int i=0;i<w.n;i++) {
+    if (w.inv_mass[i] <= 0) continue;
+    w.pos[i] = w.pos[i] + w.vel[i] * w.dt;
+    Quat q = w.quat[i];
+    Quat wq = {w.angvel[i].x, w.angvel[i].y, w.angvel[i].z, 0};
+    Quat dq = qmul(wq, q);
+    q.x += 0.5f*w.dt*dq.x; q.y += 0.5f*w.dt*dq.y;
+    q.z += 0.5f*w.dt*dq.z; q.w += 0.5f*w.dt*dq.w;
+    float L = std::sqrt(q.x*q.x+q.y*q.y+q.z*q.z+q.w*q.w);
+    q.x/=L; q.y/=L; q.z/=L; q.w/=L;
+    w.quat[i] = q;
+  }
+}
+
+// ---------------------------------------------------------------------------
+int main(int argc, char** argv) {
+  int n = argc > 1 ? atoi(argv[1]) : 2048;
+  int steps = argc > 2 ? atoi(argv[2]) : 100;
+  int settle = argc > 3 ? atoi(argv[3]) : 300;
+
+  World w;
+  w.add_box({50, 0.5f, 50}, {0, -0.5f, 0}, {0,0,0,1}, 0);  // ground
+  // same jittered-grid pile as nudge_tpu.scenes.scene_pile
+  int side = (int)std::ceil(std::cbrt((double)n));
+  float half = 0.5f, d = 2*half*1.15f;
+  uint64_t rng = 12345;
+  auto frand = [&]() { rng = rng*6364136223846793005ull + 1442695040888963407ull;
+                       return (float)((rng >> 33) / 2147483648.0) - 0.5f; };
+  int count = 0;
+  for (int iy=0; iy<side*2 && count<n; iy++)
+    for (int ix=0; ix<side && count<n; ix++)
+      for (int iz=0; iz<side && count<n; iz++) {
+        V3 p = {(ix-(side-1)/2.f)*d + frand()*0.1f,
+                half*1.5f + iy*d,
+                (iz-(side-1)/2.f)*d + frand()*0.1f};
+        Quat q = {frand()*0.05f, frand()*0.05f, frand()*0.05f, 1};
+        float L = std::sqrt(q.x*q.x+q.y*q.y+q.z*q.z+q.w*q.w);
+        q.x/=L; q.y/=L; q.z/=L; q.w/=L;
+        w.add_box({half,half,half}, p, q, 1.f);
+        count++;
+      }
+
+  std::unordered_map<uint64_t, V3> cache;
+  for (int s=0; s<settle; s++) step(w, cache);
+
+  auto t0 = std::chrono::steady_clock::now();
+  for (int s=0; s<steps; s++) step(w, cache);
+  auto t1 = std::chrono::steady_clock::now();
+  double dt = std::chrono::duration<double>(t1-t0).count();
+
+  double maxy = 0; bool finite = true;
+  for (int i=1;i<w.n;i++) {
+    if (!std::isfinite(w.pos[i].y)) finite = false;
+    maxy = std::max(maxy, (double)w.pos[i].y);
+  }
+  printf("{\"engine\": \"nudge_ref_cpp\", \"bodies\": %d, \"steps\": %d, "
+         "\"steps_per_sec\": %.2f, \"body_steps_per_sec\": %.0f, "
+         "\"max_y\": %.2f, \"finite\": %s}\n",
+         n, steps, steps/dt, n*steps/dt, maxy, finite ? "true" : "false");
+  return 0;
+}

@@ -13,11 +13,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-# Collider-index pair keys are packed as a * PAIR_SHIFT + b (a < b), which must
-# fit an int32 — mirrors the reference's uint16 body-index cap (BodyPair,
-# `nudge.h` [MED]) scaled up to 32 Ki colliders.
-PAIR_SHIFT = 1 << 15
-MAX_COLLIDERS = PAIR_SHIFT
+# Contact identity is the (gid_a, gid_b, feature) triple of two i32 global
+# collider ids + feature id — no packed-key collider cap (the reference's
+# uint16 BodyPair caps bodies at 64Ki; we only cap by memory).
 
 # Contact points per manifold (box-box clip output is reduced to this many
 # well-spread points; sphere manifolds use slot 0).
@@ -70,12 +68,6 @@ class SimConfig:
     sleep_frames: int = 60          # idle frames before a body may sleep
     island_sweeps: int = 8          # label-propagation rounds for island grouping
 
-    def __post_init__(self):
-        if self.max_boxes + self.max_spheres > MAX_COLLIDERS:
-            raise ValueError(
-                f"total collider capacity {self.max_boxes + self.max_spheres} "
-                f"exceeds pair-key limit {MAX_COLLIDERS}"
-            )
 
     @property
     def num_colliders(self) -> int:

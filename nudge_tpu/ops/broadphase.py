@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import PAIR_SHIFT, SimConfig
+from ..config import SimConfig
 from ..mathx import quat_mul, quat_rotate, quat_to_mat
 from ..state import SimState
 
@@ -161,9 +161,3 @@ def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     return bb, bs, ss
 
-
-def pair_key(gid_a, gid_b):
-    """Packed persistent pair identity. Collider slots never reorder, so the
-    global collider id is the stable identity (plays the role of the
-    reference's uint16 collider tags, SURVEY C8)."""
-    return gid_a * PAIR_SHIFT + gid_b

@@ -22,17 +22,21 @@ from .contacts import Manifolds
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
-def _join(c_pair, c_feat, c_imp, c_valid, k_pair, k_feat, k_valid):
-    """Core join: returns f32[K,3] impulses for current keys (zeros on miss)."""
-    c_pair = jnp.where(c_valid, c_pair, _SENTINEL)
+def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
+    """Core join: returns f32[K,3] impulses for current keys (zeros on miss).
+    Identity = (gid_a, gid_b, feature) — three i32 keys, lex-sorted."""
+    c_ga = jnp.where(c_valid, c_ga, _SENTINEL)
+    c_gb = jnp.where(c_valid, c_gb, _SENTINEL)
     c_feat = jnp.where(c_valid, c_feat, _SENTINEL)
-    k_pair = jnp.where(k_valid, k_pair, _SENTINEL)
+    k_ga = jnp.where(k_valid, k_ga, _SENTINEL)
+    k_gb = jnp.where(k_valid, k_gb, _SENTINEL)
     k_feat = jnp.where(k_valid, k_feat, _SENTINEL)
 
-    n_cache = c_pair.shape[0]
-    n_cur = k_pair.shape[0]
+    n_cache = c_ga.shape[0]
+    n_cur = k_ga.shape[0]
 
-    pair = jnp.concatenate([c_pair, k_pair])
+    ga = jnp.concatenate([c_ga, k_ga])
+    gb = jnp.concatenate([c_gb, k_gb])
     feat = jnp.concatenate([c_feat, k_feat])
     src = jnp.concatenate([
         jnp.zeros((n_cache,), jnp.int32), jnp.ones((n_cur,), jnp.int32)
@@ -43,16 +47,17 @@ def _join(c_pair, c_feat, c_imp, c_valid, k_pair, k_feat, k_valid):
         jnp.arange(n_cur, dtype=jnp.int32),
     ])
 
-    pair, feat, src, px, py, pz, orig = jax.lax.sort(
-        (pair, feat, src, payload[:, 0], payload[:, 1], payload[:, 2], orig),
-        num_keys=3,
+    ga, gb, feat, src, px, py, pz, orig = jax.lax.sort(
+        (ga, gb, feat, src, payload[:, 0], payload[:, 1], payload[:, 2], orig),
+        num_keys=4,
     )
     payload = jnp.stack([px, py, pz], axis=-1)
 
     prev_match = (
         (src == 1)
         & (jnp.roll(src, 1) == 0)
-        & (pair == jnp.roll(pair, 1))
+        & (ga == jnp.roll(ga, 1))
+        & (gb == jnp.roll(gb, 1))
         & (feat == jnp.roll(feat, 1))
     )
     prev_match = prev_match.at[0].set(False)
@@ -68,10 +73,11 @@ def _join(c_pair, c_feat, c_imp, c_valid, k_pair, k_feat, k_valid):
 def read_cached_impulses(cache: ContactCache, man: Manifolds) -> jnp.ndarray:
     """Warm-start impulses for every manifold point — f32[M,P,3]."""
     m, p = man.feat.shape
-    pair_flat = jnp.broadcast_to(man.pair[:, None], (m, p)).reshape(-1)
+    ga_flat = jnp.broadcast_to(man.ga[:, None], (m, p)).reshape(-1)
+    gb_flat = jnp.broadcast_to(man.gb[:, None], (m, p)).reshape(-1)
     out = _join(
-        cache.pair, cache.feat, cache.impulse, cache.valid,
-        pair_flat, man.feat.reshape(-1), man.point_valid.reshape(-1),
+        cache.ga, cache.gb, cache.feat, cache.impulse, cache.valid,
+        ga_flat, gb_flat, man.feat.reshape(-1), man.point_valid.reshape(-1),
     )
     return out.reshape(m, p, 3)
 
@@ -83,9 +89,11 @@ def write_cached_impulses(man: Manifolds, impulse_world: jnp.ndarray
     """
     m, p = man.feat.shape
     valid = man.point_valid.reshape(-1)
-    pair_flat = jnp.broadcast_to(man.pair[:, None], (m, p)).reshape(-1)
+    ga_flat = jnp.broadcast_to(man.ga[:, None], (m, p)).reshape(-1)
+    gb_flat = jnp.broadcast_to(man.gb[:, None], (m, p)).reshape(-1)
     return ContactCache(
-        pair=jnp.where(valid, pair_flat, 0),
+        ga=jnp.where(valid, ga_flat, 0),
+        gb=jnp.where(valid, gb_flat, 0),
         feat=jnp.where(valid, man.feat.reshape(-1), 0),
         impulse=jnp.where(valid[:, None], impulse_world.reshape(-1, 3), 0.0),
         valid=valid,

@@ -22,8 +22,7 @@ from ..config import SimConfig
 from ..state import SimState
 from . import narrowphase as nps
 from .broadphase import (
-    CandidatePairs, WorldColliders, allpairs_broadphase, pair_key,
-    world_colliders,
+    CandidatePairs, WorldColliders, allpairs_broadphase, world_colliders,
 )
 
 POINTS = nps.BOX_BOX_POINTS  # points per manifold (4)
@@ -36,7 +35,8 @@ class Manifolds:
 
     body_a: jnp.ndarray       # i32[M]
     body_b: jnp.ndarray       # i32[M]
-    pair: jnp.ndarray         # i32[M] packed collider-pair key
+    ga: jnp.ndarray           # i32[M] first collider gid (pair identity)
+    gb: jnp.ndarray           # i32[M] second collider gid
     normal: jnp.ndarray       # f32[M,3] world, from body_a to body_b
     friction: jnp.ndarray     # f32[M]
     pos: jnp.ndarray          # f32[M,P,3] world contact points
@@ -83,7 +83,8 @@ def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
         parts.append(dict(
             body_a=bx.body[bb.a],
             body_b=bx.body[bb.b],
-            pair=pair_key(bb.a, bb.b),
+            ga=bb.a.astype(jnp.int32),
+            gb=bb.b.astype(jnp.int32),
             normal=man["normal"],
             friction=_combine_friction(bx.friction[bb.a], bx.friction[bb.b]),
             pos=man["pos"],
@@ -102,7 +103,8 @@ def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
         parts.append(dict(
             body_a=bx.body[bs.a],
             body_b=sp.body[bs.b],
-            pair=pair_key(bs.a, sph_gid[bs.b]),
+            ga=bs.a.astype(jnp.int32),
+            gb=sph_gid[bs.b],
             normal=man["normal"],
             friction=_combine_friction(bx.friction[bs.a], sp.friction[bs.b]),
             pos=pos, depth=depth, feat=feat,
@@ -119,7 +121,8 @@ def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
         parts.append(dict(
             body_a=sp.body[ss.a],
             body_b=sp.body[ss.b],
-            pair=pair_key(sph_gid[ss.a], sph_gid[ss.b]),
+            ga=sph_gid[ss.a],
+            gb=sph_gid[ss.b],
             normal=man["normal"],
             friction=_combine_friction(sp.friction[ss.a], sp.friction[ss.b]),
             pos=pos, depth=depth, feat=feat,
@@ -148,7 +151,8 @@ def compact_manifolds(slots: dict, cfg: SimConfig, pair_overflow) -> Manifolds:
     return Manifolds(
         body_a=take(slots["body_a"]),
         body_b=take(slots["body_b"]),
-        pair=take(slots["pair"], fill=jnp.iinfo(jnp.int32).max),
+        ga=take(slots["ga"], fill=jnp.iinfo(jnp.int32).max),
+        gb=take(slots["gb"], fill=jnp.iinfo(jnp.int32).max),
         normal=take(slots["normal"]),
         friction=take(slots["friction"]),
         pos=take(slots["pos"]),

@@ -90,7 +90,7 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
     dyn = bodies.inv_mass > 0.0
     dyn_a = dyn[man.body_a]
     dyn_b = dyn[man.body_b]
-    m = man.pair.shape[0]
+    m = man.ga.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
 
     def round_fn(state):
@@ -128,7 +128,7 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         color = jnp.where(color == cfg.max_colors, -1, color)
         color = jnp.where(man.valid, color, -1)
     else:
-        color = jnp.full_like(man.pair, -1)
+        color = jnp.full_like(man.ga, -1)
         _, color = jax.lax.while_loop(
             has_uncolored, round_fn, (jnp.int32(0), color)
         )

@@ -206,7 +206,8 @@ class SceneBuilder:
                 tag=jnp.asarray(padi(self.sph_tag, ns, 0)),
             ),
             cache=ContactCache(
-                pair=jnp.zeros((c,), jnp.int32),
+                ga=jnp.zeros((c,), jnp.int32),
+                gb=jnp.zeros((c,), jnp.int32),
                 feat=jnp.zeros((c,), jnp.int32),
                 impulse=jnp.zeros((c, 3), jnp.float32),
                 valid=jnp.zeros((c,), bool),
@@ -268,6 +269,49 @@ def scene_pyramid(base: int = 10, half: float = 0.5, gap: float = 1e-3):
                       ((i - (n - 1) / 2) * d * 1.02,
                        half + layer * d,
                        0.0))
+    return b
+
+
+def scene_pile_batch(n_scenes: int, bodies_per_scene: int,
+                     sphere_frac: float = 0.0, half: float = 0.5,
+                     seed: int = 0, scene_spacing: float = 60.0):
+    """BASELINE config 5 as ONE flattened mega-scene: `n_scenes` independent
+    piles tiled far apart on a 2D grid (block-diagonal contact graph).
+
+    Flattening instead of vmap is the TPU-efficient batching: one simulation
+    with big arrays amortizes per-op overhead perfectly, while `vmap(step)`
+    keeps every op small. Per-scene state lives in contiguous body ranges
+    (scene i -> bodies [1 + i*k, 1 + (i+1)*k)), so per-scene readback/reset is
+    a slice."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    side_sc = int(np.ceil(np.sqrt(n_scenes)))
+    ground_half = (side_sc * scene_spacing / 2 + 50, 0.5,
+                   side_sc * scene_spacing / 2 + 50)
+    b.add_static_box(ground_half, (0.0, -0.5, 0.0), friction=0.8)
+    side = int(np.ceil(bodies_per_scene ** (1 / 3)))
+    d = 2 * half * 1.15
+    for s in range(n_scenes):
+        ox = (s % side_sc - (side_sc - 1) / 2) * scene_spacing
+        oz = (s // side_sc - (side_sc - 1) / 2) * scene_spacing
+        count = 0
+        for iy in range(side * 2):
+            for ix in range(side):
+                for iz in range(side):
+                    if count >= bodies_per_scene:
+                        break
+                    p = (ox + (ix - (side - 1) / 2) * d
+                         + rng.uniform(-0.1, 0.1) * half,
+                         half * 1.5 + iy * d,
+                         oz + (iz - (side - 1) / 2) * d
+                         + rng.uniform(-0.1, 0.1) * half)
+                    if rng.uniform() < sphere_frac:
+                        b.add_sphere(half * 0.9, p)
+                    else:
+                        q = np.concatenate([rng.uniform(-0.05, 0.05, 3), [1.0]])
+                        q /= np.linalg.norm(q)
+                        b.add_box((half, half, half), p, quat=q)
+                    count += 1
     return b
 
 

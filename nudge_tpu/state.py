@@ -89,7 +89,8 @@ class ContactCache:
     happens in ops/cache.py.
     """
 
-    pair: jnp.ndarray      # i32[C] packed collider pair key
+    ga: jnp.ndarray        # i32[C] first collider gid
+    gb: jnp.ndarray        # i32[C] second collider gid
     feat: jnp.ndarray      # i32[C] feature id within the pair
     impulse: jnp.ndarray   # f32[C,3] accumulated world-space impulse
     valid: jnp.ndarray     # bool[C]
@@ -148,7 +149,8 @@ def empty_state(cfg: SimConfig) -> SimState:
             tag=jnp.zeros((max(s, 1),), i32),
         ),
         cache=ContactCache(
-            pair=jnp.zeros((c,), i32),
+            ga=jnp.zeros((c,), i32),
+            gb=jnp.zeros((c,), i32),
             feat=jnp.zeros((c,), i32),
             impulse=jnp.zeros((c, 3), f32),
             valid=jnp.zeros((c,), bool),

@@ -13,12 +13,13 @@ P = CONTACT_POINTS
 
 
 def mk_manifolds(pairs, feats, point_valid):
-    """pairs: [M], feats: [M,P], point_valid: [M,P]."""
+    """pairs: [M] (encoded as (ga=pair, gb=pair+1)), feats/point_valid: [M,P]."""
     m = len(pairs)
     pv = jnp.asarray(point_valid, bool)
     return Manifolds(
         body_a=jnp.zeros(m, jnp.int32), body_b=jnp.zeros(m, jnp.int32),
-        pair=jnp.asarray(pairs, jnp.int32),
+        ga=jnp.asarray(pairs, jnp.int32),
+        gb=jnp.asarray(pairs, jnp.int32) + 1,
         normal=jnp.zeros((m, 3), jnp.float32),
         friction=jnp.zeros(m, jnp.float32),
         pos=jnp.zeros((m, P, 3), jnp.float32),
@@ -33,7 +34,8 @@ def mk_manifolds(pairs, feats, point_valid):
 
 def mk_cache(pairs, feats, impulses, valid):
     return ContactCache(
-        pair=jnp.asarray(pairs, jnp.int32),
+        ga=jnp.asarray(pairs, jnp.int32),
+        gb=jnp.asarray(pairs, jnp.int32) + 1,
         feat=jnp.asarray(feats, jnp.int32),
         impulse=jnp.asarray(impulses, jnp.float32),
         valid=jnp.asarray(valid, bool),

@@ -66,5 +66,5 @@ def test_api_pipeline_matches_engine_step():
                                np.asarray(bodies.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ref_state.bodies.vel),
                                np.asarray(bodies.vel), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(ref_state.cache.pair),
-                                  np.asarray(cache.pair))
+    np.testing.assert_array_equal(np.asarray(ref_state.cache.ga),
+                                  np.asarray(cache.ga))
