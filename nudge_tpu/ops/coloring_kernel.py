@@ -126,6 +126,13 @@ def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
     jax.lax.while_loop(cond_fn, round_fn, (jnp.int32(0), jnp.int32(1)))
 
 
+def coloring_fits(n_manifolds: int, n_bodies: int) -> bool:
+    """VMEM feasibility estimate (3 manifold-row arrays + claim table)."""
+    mpad = _rup(max(n_manifolds, LANES), LANES)
+    npad = _rup(max(n_bodies, LANES), LANES)
+    return (3 * 8 * mpad * 4 + 8 * npad * 4) < 9 * 1024 * 1024
+
+
 def color_manifolds_pallas(body_a, body_b, valid, dyn, n_bodies: int,
                            max_colors: int, interpret: bool = False):
     """Raw greedy coloring on TPU. Returns color i32[M]: >=0 colored,

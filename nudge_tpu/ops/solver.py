@@ -118,9 +118,11 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         c, color = state
         return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
 
+    from .coloring_kernel import color_manifolds_pallas, coloring_fits
+
     if cfg.solver in ("pallas", "pallas_interpret") or (
-            cfg.solver == "auto" and jax.default_backend() == "tpu"):
-        from .coloring_kernel import color_manifolds_pallas
+            cfg.solver == "auto" and jax.default_backend() == "tpu"
+            and coloring_fits(m, n_bodies)):
 
         color = color_manifolds_pallas(
             man.body_a, man.body_b, man.valid, dyn, n_bodies,
