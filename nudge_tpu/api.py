@@ -40,10 +40,11 @@ __all__ = [
 ]
 
 
-def collide(state: SimState, cfg: SimConfig) -> Manifolds:
+def collide(state: SimState, cfg: SimConfig):
     """Broadphase + narrowphase + compaction (reference: nudge::collide,
     SURVEY §3.B). Sleeping pairs are skipped via state.sleep; BodyConnections
-    filtering via state.connections."""
+    filtering via state.connections. Returns (Manifolds, BPCache) — store the
+    cache back via state.replace(bp=...) to amortize pair generation."""
     return _collide(state, cfg)
 
 

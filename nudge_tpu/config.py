@@ -58,8 +58,10 @@ class SimConfig:
     aabb_margin: float = 0.02       # fattening so near-touching pairs persist
     broadphase: str = "auto"        # "allpairs" | "grid" | "auto"
     grid_cell: float = 0.0          # 0 => derived from max collider extent
-    grid_density: int = 16          # colliders read per neighbor cell (M4)
+    grid_density: int = 24          # colliders read per neighbor cell (M4)
     max_big_colliders: int = 16     # oversized colliders (dense side channel)
+    persistent_broadphase: bool = False  # amortize pair gen across steps (opt-in)
+    rebuild_margin: float = 0.1     # speculative AABB fattening at rebuild
 
     # --- sleeping (SURVEY C13) ---
     sleeping: bool = False

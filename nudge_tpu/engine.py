@@ -53,7 +53,7 @@ def step(state: SimState, cfg: SimConfig):
     """One simulation step. Returns (new_state, StepMetrics)."""
     bodies = apply_gravity(state.bodies, state.sleep, cfg)
 
-    contacts = collide(state, cfg)
+    contacts, bp = collide(state, cfg)
     warm = read_cached_impulses(state.cache, contacts)
     con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
     bodies, acc = _solve_dispatch(bodies, con, acc, cfg)
@@ -65,7 +65,7 @@ def step(state: SimState, cfg: SimConfig):
     sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
 
     new_state = state.replace(
-        bodies=bodies, cache=cache, sleep=sleep,
+        bodies=bodies, cache=cache, sleep=sleep, bp=bp,
         step_count=state.step_count + 1,
     )
 

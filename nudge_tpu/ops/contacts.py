@@ -165,26 +165,45 @@ def compact_manifolds(slots: dict, cfg: SimConfig, pair_overflow) -> Manifolds:
     )
 
 
-def _broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
+def _base_broadphase(cfg: SimConfig):
     mode = cfg.broadphase
     if mode == "auto":
         mode = "grid" if cfg.num_colliders > 1024 else "allpairs"
     if mode == "grid":
         from .grid import grid_broadphase
 
-        return grid_broadphase(state, wc, cfg)
-    return allpairs_broadphase(state, wc, cfg)
+        return grid_broadphase
+    return allpairs_broadphase
 
 
-def collide(state: SimState, cfg: SimConfig) -> Manifolds:
+def collide(state: SimState, cfg: SimConfig):
     """Broadphase + narrowphase + compaction — the reference's
-    nudge::collide() (SURVEY §3.B) as one pure function."""
+    nudge::collide() (SURVEY §3.B) as one pure function.
+    Returns (Manifolds, BPCache) — the cache threads the amortized
+    broadphase between steps (ops/persistent_bp)."""
     wc = world_colliders(state)
-    bb, bs, ss = _broadphase(state, wc, cfg)
+    base = _base_broadphase(cfg)
+    if cfg.persistent_broadphase:
+        from .persistent_bp import persistent_broadphase
+
+        # sleep filtering happens per step on cached pairs; rebuild caches
+        # pairs as if everything were awake so waking islands reconnect
+        # instantly
+        awake_state = state.replace(
+            sleep=state.sleep.replace(
+                awake=jnp.ones_like(state.sleep.awake)))
+
+        def base_awake(st, wcx, cfgx):
+            return base(awake_state, wcx, cfgx)
+
+        (bb, bs, ss), bp = persistent_broadphase(state, wc, cfg, base_awake)
+    else:
+        bb, bs, ss = base(state, wc, cfg)
+        bp = state.bp
     slots = narrowphase_all(state, wc, bb, bs, ss, cfg)
     pair_overflow = bb.overflow
     if bs.a.shape[0] > 0:
         pair_overflow |= bs.overflow
     if ss.a.shape[0] > 0:
         pair_overflow |= ss.overflow
-    return compact_manifolds(slots, cfg, pair_overflow)
+    return compact_manifolds(slots, cfg, pair_overflow), bp

@@ -1,0 +1,168 @@
+"""Persistent (amortized) broadphase.
+
+The reference rebuilds its sweep every frame (SURVEY C5); on TPU the rebuild
+is the most op-heavy stage left, while in settled scenes the candidate set
+barely changes. Standard engine fix, done functionally:
+
+  - at rebuild time, candidate pairs are generated with a fat speculative
+    margin (cfg.rebuild_margin) and cached in the state together with anchor
+    positions/orientations;
+  - each step, every body's conservative displacement since its anchor is
+    d = |x - x_anchor| + 2 r |q - q_anchor| (r = body circumradius; the
+    rotational term bounds AABB growth). While max d < rebuild_margin/2, any
+    pair whose true AABBs overlap now was within the fattened overlap at
+    rebuild time, so the cache is a superset of the live pair set — nothing
+    can be missed; the narrowphase filters the extras;
+  - `lax.cond` picks rebuild vs reuse, so the rebuild cost is paid only when
+    something actually moved (sleeping piles: almost never).
+
+Per-step filters that must track *current* state (sleeping pairs dropped,
+SURVEY C13) are re-applied to the cached pairs each step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SimConfig
+from ..mathx import quat_to_mat
+from ..state import SimState
+from .broadphase import (
+    CandidatePairs, WorldColliders, _pair_filter, allpairs_broadphase,
+)
+
+
+@struct.dataclass
+class BPCache:
+    """Cached candidate pairs + rebuild anchors (part of SimState)."""
+
+    bb_a: jnp.ndarray       # i32[Pbb]
+    bb_b: jnp.ndarray
+    bb_valid: jnp.ndarray   # bool[Pbb]
+    bs_a: jnp.ndarray
+    bs_b: jnp.ndarray
+    bs_valid: jnp.ndarray
+    ss_a: jnp.ndarray
+    ss_b: jnp.ndarray
+    ss_valid: jnp.ndarray
+    overflow: jnp.ndarray   # bool
+    anchor_pos: jnp.ndarray   # f32[N,3]
+    anchor_quat: jnp.ndarray  # f32[N,4]
+    stale: jnp.ndarray        # bool: force rebuild (initial state)
+
+
+def empty_bp_cache(cfg: SimConfig, n_bodies: int) -> BPCache:
+    z = lambda c: jnp.zeros((c,), jnp.int32)
+    f = lambda c: jnp.zeros((c,), bool)
+    ns = max(cfg.max_box_sphere_pairs, 0)
+    nss = max(cfg.max_sphere_sphere_pairs, 0)
+    return BPCache(
+        bb_a=z(cfg.max_box_box_pairs), bb_b=z(cfg.max_box_box_pairs),
+        bb_valid=f(cfg.max_box_box_pairs),
+        bs_a=z(ns), bs_b=z(ns), bs_valid=f(ns),
+        ss_a=z(nss), ss_b=z(nss), ss_valid=f(nss),
+        overflow=jnp.asarray(False),
+        anchor_pos=jnp.zeros((n_bodies, 3), jnp.float32),
+        anchor_quat=jnp.zeros((n_bodies, 4), jnp.float32),
+        stale=jnp.asarray(True),
+    )
+
+
+def _body_radius(state: SimState, cfg: SimConfig) -> jnp.ndarray:
+    """Per-body circumradius over its colliders (for the rotation bound)."""
+    n = state.bodies.pos.shape[0]
+    bx, sp = state.boxes, state.spheres
+    r = jnp.zeros((n,), jnp.float32)
+    r_box = jnp.linalg.norm(bx.half, axis=-1) + jnp.linalg.norm(bx.lpos, axis=-1)
+    r = r.at[jnp.maximum(bx.body, 0)].max(jnp.where(bx.valid, r_box, 0.0))
+    if cfg.max_spheres > 0:
+        r_s = sp.radius + jnp.linalg.norm(sp.lpos, axis=-1)
+        r = r.at[jnp.maximum(sp.body, 0)].max(jnp.where(sp.valid, r_s, 0.0))
+    return r
+
+
+def needs_rebuild(state: SimState, cfg: SimConfig) -> jnp.ndarray:
+    bp = state.bp
+    d = jnp.linalg.norm(state.bodies.pos - bp.anchor_pos, axis=-1)
+    dq = jnp.linalg.norm(state.bodies.quat - bp.anchor_quat, axis=-1)
+    disp = d + 2.0 * _body_radius(state, cfg) * dq
+    return bp.stale | jnp.any(disp > 0.5 * cfg.rebuild_margin)
+
+
+def persistent_broadphase(state: SimState, wc: WorldColliders,
+                          cfg: SimConfig, base_broadphase):
+    """Returns ((bb, bs, ss), new BPCache). `base_broadphase(state, wc, cfg)`
+    is the full rebuild (grid or allpairs), run with the fat margin."""
+
+    def rebuild(_):
+        fat = cfg.replace(aabb_margin=cfg.rebuild_margin)
+        bb, bs, ss = base_broadphase(state, wc, fat)
+        ovf = bb.overflow
+        if bs.a.shape[0] > 0:
+            ovf |= bs.overflow | ss.overflow
+        return BPCache(
+            bb_a=bb.a, bb_b=bb.b, bb_valid=bb.valid,
+            bs_a=bs.a if bs.a.shape[0] else state.bp.bs_a,
+            bs_b=bs.b if bs.a.shape[0] else state.bp.bs_b,
+            bs_valid=bs.valid if bs.a.shape[0] else state.bp.bs_valid,
+            ss_a=ss.a if ss.a.shape[0] else state.bp.ss_a,
+            ss_b=ss.b if ss.a.shape[0] else state.bp.ss_b,
+            ss_valid=ss.valid if ss.a.shape[0] else state.bp.ss_valid,
+            overflow=ovf,
+            anchor_pos=state.bodies.pos,
+            anchor_quat=state.bodies.quat,
+            stale=jnp.asarray(False),
+        )
+
+    def reuse(_):
+        return state.bp
+
+    bp = jax.lax.cond(needs_rebuild(state, cfg), rebuild, reuse, None)
+
+    # Per-step tight re-filter of the fat cached set: current-AABB overlap +
+    # live filters (sleep state changes between rebuilds), then compaction to
+    # the live capacity so the narrowphase only pays for pairs that can
+    # actually touch. Roughly halves the candidate volume the fat margin
+    # added.
+    from .broadphase import box_aabbs, sphere_aabbs
+
+    bodies, sleep, conn = state.bodies, state.sleep, state.connections
+    bx, sp = state.boxes, state.spheres
+    blo, bhi = box_aabbs(bx.half, wc.box_pos, wc.box_quat, cfg.aabb_margin)
+    if cfg.max_spheres > 0:
+        slo, shi = sphere_aabbs(sp.radius, wc.sph_pos, cfg.aabb_margin)
+
+    def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b):
+        keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn)
+        keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
+        live_cap = max(a.shape[0] // 2, 1)
+        cnt = jnp.sum(keep.astype(jnp.int32))
+        (sel,) = jnp.nonzero(keep, size=live_cap, fill_value=0)
+        vv = jnp.arange(live_cap) < jnp.minimum(cnt, live_cap)
+        return CandidatePairs(
+            a=jnp.where(vv, a[sel], 0), b=jnp.where(vv, b[sel], 0),
+            valid=vv, count=cnt,
+        )
+
+    bb = mk(bp.bb_a, bp.bb_b, bp.bb_valid,
+            bx.body[bp.bb_a], bx.body[bp.bb_b],
+            blo[bp.bb_a], bhi[bp.bb_a], blo[bp.bb_b], bhi[bp.bb_b])
+    if cfg.max_spheres > 0:
+        bs = mk(bp.bs_a, bp.bs_b, bp.bs_valid,
+                bx.body[bp.bs_a], sp.body[bp.bs_b],
+                blo[bp.bs_a], bhi[bp.bs_a], slo[bp.bs_b], shi[bp.bs_b])
+        ss = mk(bp.ss_a, bp.ss_b, bp.ss_valid,
+                sp.body[bp.ss_a], sp.body[bp.ss_b],
+                slo[bp.ss_a], shi[bp.ss_a], slo[bp.ss_b], shi[bp.ss_b])
+    else:
+        empty = CandidatePairs(
+            a=jnp.zeros((0,), jnp.int32), b=jnp.zeros((0,), jnp.int32),
+            valid=jnp.zeros((0,), bool), count=jnp.zeros((), jnp.int32),
+        )
+        bs = ss = empty
+    # carry the rebuild-time overflow through
+    bb = bb.replace(count=jnp.where(
+        bp.overflow, jnp.maximum(bb.count, bb.a.shape[0] + 1), bb.count))
+    return (bb, bs, ss), bp

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from .config import SimConfig
 from .mathx import quat_identity
+from .ops.persistent_bp import empty_bp_cache
 from .state import (
     Bodies, Boxes, ContactCache, SimState, SleepState, Spheres,
 )
@@ -217,6 +218,7 @@ class SceneBuilder:
                 awake=jnp.ones((cfg.max_bodies,), bool),
                 pairs=jnp.full((cfg.max_manifolds, 2), -1, jnp.int32),
             ),
+            bp=empty_bp_cache(cfg, cfg.max_bodies),
             connections=jnp.asarray(conn),
             step_count=jnp.zeros((), jnp.int32),
         )

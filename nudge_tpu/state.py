@@ -115,12 +115,15 @@ class SimState:
     spheres: Spheres
     cache: ContactCache
     sleep: SleepState
+    bp: "BPCache"             # persistent broadphase cache (ops/persistent_bp)
     connections: jnp.ndarray  # i32[K,2] suppressed body pairs (SURVEY C14); -1 pad
     step_count: jnp.ndarray   # i32 scalar
 
 
 def empty_state(cfg: SimConfig) -> SimState:
     """All-padding state at capacity; fill via scenes.SceneBuilder."""
+    from .ops.persistent_bp import empty_bp_cache
+
     n, b, s = cfg.max_bodies, cfg.max_boxes, cfg.max_spheres
     c, k = cfg.cache_capacity, max(cfg.max_connections, 1)
     f32, i32 = jnp.float32, jnp.int32
@@ -160,6 +163,7 @@ def empty_state(cfg: SimConfig) -> SimState:
             awake=jnp.ones((n,), bool),
             pairs=jnp.full((cfg.max_manifolds, 2), -1, i32),
         ),
+        bp=empty_bp_cache(cfg, n),
         connections=jnp.full((k, 2), -1, i32),
         step_count=jnp.zeros((), i32),
     )

@@ -54,7 +54,7 @@ def test_api_pipeline_matches_engine_step():
     ref_state, _ = jax.jit(lambda s: step(s, cfg))(st)
 
     bodies = api.apply_gravity(st.bodies, st.sleep, cfg)
-    contacts = api.collide(st, cfg)
+    contacts, _bp = api.collide(st, cfg)
     warm = api.read_cached_impulses(st.cache, contacts)
     con, bodies, acc = api.setup_contact_constraints(bodies, contacts, warm, cfg)
     bodies, acc = api.apply_impulses(con, bodies, acc, cfg)

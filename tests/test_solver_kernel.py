@@ -27,7 +27,7 @@ def solve_inputs(builder, settle_steps, **over):
     st = builder.finalize(cfg)
     st, _ = simulate(st, cfg, settle_steps)
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
-    man = collide(st, cfg)
+    man, _ = collide(st, cfg)
     warm = read_cached_impulses(st.cache, man)
     con, bodies, acc = setup_constraints(bodies, man, warm, cfg)
     return cfg, bodies, con, acc
