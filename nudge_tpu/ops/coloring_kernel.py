@@ -36,8 +36,8 @@ def _rup(x, m):
     return -(-x // m) * m
 
 
-def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
-                  max_colors, n_body_tiles, n_man_tiles):
+def _color_kernel(tmin_ref, tmax_ref, ia_ref, ib_ref, color_ref, color_out,
+                  claim, *, max_colors, n_body_tiles, n_man_tiles):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -70,7 +70,8 @@ def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
             ia_col = col_of(ia_row)                               # [128,1]
             ib_col = col_of(ib_row)
             tok_col = col_of(jnp.minimum(tok_row, _SENT * 4.0))   # keep exact
-            for bt in range(n_body_tiles):
+
+            def claim_bt(bt, _):
                 oha = (ia_col - bt * LANES) == lane.astype(jnp.float32)
                 ohb = (ib_col - bt * LANES) == lane.astype(jnp.float32)
                 ca = jnp.min(jnp.where(oha, tok_col, _INF_F), axis=0,
@@ -81,6 +82,9 @@ def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
                 bcols = pl.ds(bt * LANES, LANES)
                 claim[:, bcols] = jnp.minimum(
                     claim[:, bcols], jnp.broadcast_to(upd, (8, LANES)))
+                return 0
+
+            jax.lax.fori_loop(tmin_ref[mt], tmax_ref[mt], claim_bt, 0)
             return 0
 
         jax.lax.fori_loop(0, n_man_tiles, scatter_mt, 0)
@@ -93,10 +97,11 @@ def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
             tok_row = (idx_row ^ hmask).astype(jnp.float32)
             ia_row = ia_ref[0:1, cols]
             ib_row = ib_ref[0:1, cols]
-            ca = jnp.zeros((8, LANES), jnp.float32)
-            cb = jnp.zeros((8, LANES), jnp.float32)
-            brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0).astype(jnp.float32)
-            for bt in range(n_body_tiles):
+            brow = jax.lax.broadcasted_iota(
+                jnp.int32, (LANES, LANES), 0).astype(jnp.float32)
+
+            def gather_bt(bt, cab):
+                ca, cb = cab
                 bcols = pl.ds(bt * LANES, LANES)
                 ct = claim[:, bcols]                              # [8,128]
                 oha = ((brow + bt * LANES) ==
@@ -109,6 +114,12 @@ def _color_kernel(ia_ref, ib_ref, color_ref, color_out, claim, *,
                                   precision=hp)
                 cb = cb + jnp.dot(ct, ohb, preferred_element_type=jnp.float32,
                                   precision=hp)
+                return ca, cb
+
+            ca, cb = jax.lax.fori_loop(
+                tmin_ref[mt], tmax_ref[mt], gather_bt,
+                (jnp.zeros((8, LANES), jnp.float32),
+                 jnp.zeros((8, LANES), jnp.float32)))
             ok_a = (ca[0:1] == tok_row) | (ia_row >= _SENT)
             ok_b = (cb[0:1] == tok_row) | (ib_row >= _SENT)
             win = (colc < 0) & ok_a & ok_b
@@ -155,21 +166,42 @@ def color_manifolds_pallas(body_a, body_b, valid, dyn, n_bodies: int,
     color0 = jnp.full((8, mpad), max_colors, jnp.int32)
     color0 = color0.at[0, :m].set(jnp.where(valid, -1, max_colors))
 
+    # per-manifold-tile body-tile windows (claims/gathers sweep only these)
+    n_body_tiles = npad // LANES
+    claims_any = (ia[0] < _SENT) | (ib[0] < _SENT)
+    bt_lo = jnp.where(claims_any,
+                      jnp.minimum(ia[0], ib[0]).astype(jnp.int32) // LANES,
+                      2 ** 30)
+    lo_a = jnp.where(ia[0] < _SENT, ia[0].astype(jnp.int32) // LANES, -1)
+    lo_b = jnp.where(ib[0] < _SENT, ib[0].astype(jnp.int32) // LANES, -1)
+    bt_hi = jnp.maximum(lo_a, lo_b)
+    n_mt = mpad // LANES
+    tmin = jnp.minimum(bt_lo.reshape(n_mt, LANES).min(axis=1),
+                       n_body_tiles).astype(jnp.int32)
+    tmax = jnp.clip(bt_hi.reshape(n_mt, LANES).max(axis=1) + 1,
+                    0, n_body_tiles).astype(jnp.int32)
+    tmax = jnp.maximum(tmax, tmin)
+
     kernel = partial(
         _color_kernel,
         max_colors=max_colors,
-        n_body_tiles=npad // LANES,
-        n_man_tiles=mpad // LANES,
+        n_body_tiles=n_body_tiles,
+        n_man_tiles=n_mt,
     )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((8, mpad), jnp.int32),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((8, npad), jnp.float32)],
-        input_output_aliases={2: 0},
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, mpad), jnp.int32)],
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ia, ib, color0)
+    )(tmin, tmax, ia, ib, color0)
     return out[0, :m]

@@ -87,6 +87,10 @@ def test_kernel_fits_estimate():
     b = scene_pile(64)
     cfg = b.auto_config()
     assert kernel_fits(cfg, cfg.max_bodies)
-    big = cfg.replace(max_manifolds=300000)
-    assert not kernel_fits(big, cfg.max_bodies)
-    assert not kernel_fits(cfg, 100000)
+    # v2 streams constraints: 20k-pile (config 4) and 100k bodies fit
+    assert kernel_fits(cfg.replace(max_manifolds=90000), 20480)
+    assert kernel_fits(cfg, 100000)
+    # accumulators stay resident: very large manifold caps do not fit
+    assert not kernel_fits(cfg.replace(max_manifolds=500000), 20480)
+    # body table is resident: millions of bodies do not fit
+    assert not kernel_fits(cfg, 2_000_000)
