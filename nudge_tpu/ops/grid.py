@@ -4,13 +4,16 @@ The reference's broadphase is a sorted sweep-and-prune along one axis
 (SURVEY.md C5) — inherently sequential in its scan. The TPU-native
 replacement is a uniform grid:
 
-  - every collider gets one *home cell*; cells are packed into exact i32 keys
-    (10 bits/axis, clamped — no hashing, so no false cell aliasing and no
-    duplicate candidates);
-  - colliders are sorted by cell key once per step (`lax.sort`);
-  - each collider queries its 27 neighbor cells with vectorized
-    `searchsorted` and reads up to `grid_density` entries per cell — fixed
-    shapes, overflow flagged;
+  - every collider gets one *home cell* in a dense table of static extent
+    (cfg.grid_table_dims), re-based to the scene bounding box each step and
+    clamped at the borders (exact cells, no hashing — no false aliasing, no
+    duplicate candidates; out-of-extent colliders merge into border cells,
+    which only adds candidates);
+  - colliders are sorted by linear cell id once per step (`lax.sort`); the
+    per-cell [start, end) ranges are scatter-built into the dense table, so
+    neighbor lookup is one gather (no log-pass binary searches);
+  - each collider queries its half-stencil neighbor cells and reads up to
+    `grid_density` entries per cell — fixed shapes, overflow flagged;
   - a pair (i, j), i < j by global collider id, is emitted exactly once:
     from i's scan when j's home cell is in i's neighborhood.
 
@@ -31,17 +34,6 @@ from ..state import SimState
 from .broadphase import (
     CandidatePairs, WorldColliders, _pair_filter, box_aabbs, sphere_aabbs,
 )
-
-_GRID_BITS = 10
-_GRID_SIDE = 1 << _GRID_BITS          # 1024 cells per axis
-_KEY_INVALID = jnp.iinfo(jnp.int32).max
-
-
-def _pack_cells(coords):
-    """[..., 3] clamped cell coords -> packed i32 keys."""
-    c = jnp.clip(coords + _GRID_SIDE // 2, 0, _GRID_SIDE - 1)
-    return (c[..., 0] << (2 * _GRID_BITS)) | (c[..., 1] << _GRID_BITS) | c[..., 2]
-
 
 def _all_aabbs(state: SimState, wc: WorldColliders, cfg: SimConfig):
     """Unified collider arrays over global ids (boxes then spheres):
@@ -81,10 +73,34 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     in_grid = valid & ~big
 
-    coords = jnp.floor(center / cell).astype(jnp.int32)
-    key = jnp.where(in_grid, _pack_cells(coords), _KEY_INVALID)
+    # Re-base cell coords to the scene's bounding box and clamp into a dense
+    # static-extent table (cfg.grid_table_dims). Out-of-extent colliders merge
+    # into border cells — extra candidates, filtered by the AABB test (same
+    # degradation as key clamping, never missed pairs).
+    ex, ey, ez = cfg.grid_table_dims
+    coords_abs = jnp.floor(center / cell).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(in_grid[:, None], coords_abs, 2 ** 20), axis=0)
+    coords = jnp.clip(coords_abs - cmin, 0,
+                      jnp.array([ex - 1, ey - 1, ez - 1]))
+    lin = (coords[:, 0] * ey + coords[:, 1]) * ez + coords[:, 2]
+    tbl_size = ex * ey * ez
+    # dead colliders park in cell tbl_size+1; out-of-extent QUERIES map to the
+    # always-empty cell tbl_size — the two must differ or queries would
+    # return the dead set
+    lin = jnp.where(in_grid, lin, tbl_size + 1)
+
     gid = jnp.arange(g, dtype=jnp.int32)
-    sorted_key, order = jax.lax.sort((key, gid), num_keys=1)
+    _, order = jax.lax.sort((lin, gid), num_keys=1)
+    lin_sorted = lin[order]
+
+    # dense per-cell [start, end) ranges via scatter-min/max over sorted
+    # positions — replaces two log(G)-pass searchsorted sweeps with O(G)
+    # scatters + O(G·14) gathers
+    pos_arr = jnp.arange(g, dtype=jnp.int32)
+    start_tbl = jnp.full((tbl_size + 2,), g, jnp.int32).at[lin_sorted].min(
+        pos_arr)
+    end_tbl = jnp.zeros((tbl_size + 2,), jnp.int32).at[lin_sorted].max(
+        pos_arr + 1)
 
     # Half stencil: the home cell plus the 13 lexicographically-positive
     # neighbor offsets. An overlapping pair's cells differ by one step δ in
@@ -98,10 +114,15 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     ).reshape(27, 3)
     lex = off_all[:, 0] * 9 + off_all[:, 1] * 3 + off_all[:, 2]
     off = jnp.asarray(off_all[lex >= 0])                         # [14,3], 0 first
-    nkeys = _pack_cells(coords[:, None, :] + off[None, :, :])    # [G,14]
 
-    qlo = jnp.searchsorted(sorted_key, nkeys, side="left")
-    qhi = jnp.searchsorted(sorted_key, nkeys, side="right")
+    ncoords = coords[:, None, :] + off[None, :, :]               # [G,14,3]
+    in_ext = jnp.all(
+        (ncoords >= 0) & (ncoords < jnp.array([ex, ey, ez])), axis=-1)
+    nlin = (ncoords[..., 0] * ey + ncoords[..., 1]) * ez + ncoords[..., 2]
+    nlin = jnp.where(in_ext, nlin, tbl_size)                     # [G,14]
+
+    qlo = start_tbl[nlin]
+    qhi = end_tbl[nlin]
     density_overflow = jnp.any((qhi - qlo) > cfg.grid_density)
 
     k = jnp.arange(cfg.grid_density)
@@ -111,7 +132,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     i = gid[:, None, None]
     same_cell = (jnp.sum(jnp.abs(off), axis=-1) == 0)[None, :, None]
-    pair_live = live & jnp.where(same_cell, j > i, j != i)
+    pair_live = live & valid[j] & jnp.where(same_cell, j > i, j != i)
     overlap = jnp.all(
         (lo[i] <= hi[j]) & (lo[j] <= hi[i]), axis=-1
     )
