@@ -59,7 +59,7 @@ class SimConfig:
     broadphase: str = "auto"        # "allpairs" | "grid" | "auto"
     grid_cell: float = 0.0          # 0 => derived from max collider extent
     grid_density: int = 24          # colliders read per neighbor cell (M4)
-    grid_table_dims: Tuple[int, int, int] = (256, 64, 256)  # dense cell table
+    grid_table_dims: Tuple[int, int, int] = (128, 32, 128)  # dense cell table
     max_big_colliders: int = 16     # oversized colliders (dense side channel)
     persistent_broadphase: bool = False  # amortize pair gen across steps (opt-in)
     rebuild_margin: float = 0.1     # speculative AABB fattening at rebuild
