@@ -110,7 +110,8 @@ def _pair_filter(bodies, sleep, body_a, body_b, connections):
     moving = (bodies.inv_mass > 0.0) & sleep.awake
     keep = body_a != body_b
     keep &= moving[body_a] | moving[body_b]
-    keep &= ~_connection_mask(body_a, body_b, connections)
+    if connections.shape[0] > 0:   # static skip for no-connections scenes
+        keep &= ~_connection_mask(body_a, body_b, connections)
     return keep
 
 

@@ -175,7 +175,7 @@ class SceneBuilder:
             return f
 
         ns = max(cfg.max_spheres, 1)
-        nc = max(cfg.max_connections, 1)
+        nc = cfg.max_connections
         conn = np.full((nc, 2), -1, np.int32)
         if self.connections:
             conn[: len(self.connections)] = np.asarray(self.connections, np.int32)

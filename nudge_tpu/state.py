@@ -125,7 +125,7 @@ def empty_state(cfg: SimConfig) -> SimState:
     from .ops.persistent_bp import empty_bp_cache
 
     n, b, s = cfg.max_bodies, cfg.max_boxes, cfg.max_spheres
-    c, k = cfg.cache_capacity, max(cfg.max_connections, 1)
+    c, k = cfg.cache_capacity, cfg.max_connections
     f32, i32 = jnp.float32, jnp.int32
     return SimState(
         bodies=Bodies(
