@@ -22,7 +22,8 @@ from ..config import SimConfig
 from ..state import SimState
 from . import narrowphase as nps
 from .broadphase import (
-    CandidatePairs, WorldColliders, allpairs_broadphase, world_colliders,
+    CandidatePairs, WorldColliders, allpairs_broadphase, compact_mask,
+    world_colliders,
 )
 
 POINTS = nps.BOX_BOX_POINTS  # points per manifold (4)
@@ -139,9 +140,7 @@ def compact_manifolds(slots: dict, cfg: SimConfig, pair_overflow) -> Manifolds:
     manifold array (capacity = cfg.max_manifolds)."""
     cap = cfg.max_manifolds
     has_contact = jnp.any(slots["point_valid"], axis=-1)
-    count = jnp.sum(has_contact.astype(jnp.int32))
-    (idx,) = jnp.nonzero(has_contact, size=cap, fill_value=0)
-    valid = jnp.arange(cap) < jnp.minimum(count, cap)
+    idx, valid, count = compact_mask(has_contact, cap)
 
     def take(x, fill=0):
         out = x[idx]

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..config import SimConfig
 from ..state import SimState
 from .broadphase import (
-    CandidatePairs, WorldColliders, _pair_filter, box_aabbs, sphere_aabbs,
+    CandidatePairs, WorldColliders, _pair_filter, box_aabbs, compact_mask,
+    sphere_aabbs,
 )
 
 def _all_aabbs(state: SimState, wc: WorldColliders, cfg: SimConfig):
@@ -164,9 +165,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     flat_keep = jnp.concatenate([keep.reshape(-1), b_keep.reshape(-1)])
 
     cap = cfg.total_pairs
-    total = jnp.sum(flat_keep.astype(jnp.int32))
-    (sel,) = jnp.nonzero(flat_keep, size=cap, fill_value=0)
-    sel_valid = jnp.arange(cap) < jnp.minimum(total, cap)
+    sel, sel_valid, total = compact_mask(flat_keep, cap)
     a_s = jnp.where(sel_valid, flat_a[sel], 0)
     b_s = jnp.where(sel_valid, flat_b[sel], 0)
     pair_overflow = (total > cap) | density_overflow
@@ -177,9 +176,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     is_bs = sel_valid & (a_s < nb) & (b_s >= nb)
 
     def split(mask, cap_c, a_vals, b_vals):
-        cnt = jnp.sum(mask.astype(jnp.int32))
-        (ii,) = jnp.nonzero(mask, size=cap_c, fill_value=0)
-        vv = jnp.arange(cap_c) < jnp.minimum(cnt, cap_c)
+        ii, vv, cnt = compact_mask(mask, cap_c)
         return CandidatePairs(
             a=jnp.where(vv, a_vals[ii], 0).astype(jnp.int32),
             b=jnp.where(vv, b_vals[ii], 0).astype(jnp.int32),

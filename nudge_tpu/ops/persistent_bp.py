@@ -134,13 +134,13 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
     if cfg.max_spheres > 0:
         slo, shi = sphere_aabbs(sp.radius, wc.sph_pos, cfg.aabb_margin)
 
+    from .broadphase import compact_mask
+
     def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b):
         keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn)
         keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
         live_cap = max(a.shape[0] // 2, 1)
-        cnt = jnp.sum(keep.astype(jnp.int32))
-        (sel,) = jnp.nonzero(keep, size=live_cap, fill_value=0)
-        vv = jnp.arange(live_cap) < jnp.minimum(cnt, live_cap)
+        sel, vv, cnt = compact_mask(keep, live_cap)
         return CandidatePairs(
             a=jnp.where(vv, a[sel], 0), b=jnp.where(vv, b[sel], 0),
             valid=vv, count=cnt,
