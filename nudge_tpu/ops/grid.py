@@ -127,19 +127,41 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     density_overflow = jnp.any((qhi - qlo) > cfg.grid_density)
 
     k = jnp.arange(cfg.grid_density)
-    pos = qlo[..., None] + k                                     # [G,14,K]
-    live = (pos < qhi[..., None]) & in_grid[:, None, None]
-    j = order[jnp.minimum(pos, g - 1)]                           # [G,14,K]
+    pos = jnp.minimum(qlo[..., None] + k, g - 1)                 # [G,14,K]
+    live = ((qlo[..., None] + k) < qhi[..., None]) & in_grid[:, None, None]
+
+    # ONE wide gather for all per-candidate data: a packed f32 table in
+    # sorted order — lo(3), hi(3), id, body, moving, valid — replaces five
+    # separate 460k-element gathers (the dominant grid cost).
+    moving = ((state.bodies.inv_mass > 0.0) & state.sleep.awake)[body]
+    table = jnp.concatenate([
+        lo, hi,
+        gid[:, None].astype(jnp.float32),
+        body[:, None].astype(jnp.float32),
+        moving[:, None].astype(jnp.float32),
+        valid[:, None].astype(jnp.float32),
+    ], axis=-1)[order]                                           # [G,10] sorted
+    cand = table[pos]                                            # [G,14,K,10]
+    j_lo, j_hi = cand[..., 0:3], cand[..., 3:6]
+    j_id = cand[..., 6].astype(jnp.int32)
+    j_body = cand[..., 7].astype(jnp.int32)
+    j_moving = cand[..., 8] > 0.5
+    j_valid = cand[..., 9] > 0.5
 
     i = gid[:, None, None]
+    i_body = body[:, None, None]
+    i_moving = moving[:, None, None]
     same_cell = (jnp.sum(jnp.abs(off), axis=-1) == 0)[None, :, None]
-    pair_live = live & valid[j] & jnp.where(same_cell, j > i, j != i)
-    overlap = jnp.all(
-        (lo[i] <= hi[j]) & (lo[j] <= hi[i]), axis=-1
-    )
-    keep = pair_live & overlap
-    keep &= _pair_filter(state.bodies, state.sleep, body[i], body[j],
-                         state.connections)
+    keep = live & j_valid & jnp.where(same_cell, j_id > i, j_id != i)
+    keep &= jnp.all((lo[:, None, None, :] <= j_hi)
+                    & (j_lo <= hi[:, None, None, :]), axis=-1)
+    keep &= i_body != j_body
+    keep &= i_moving | j_moving
+    if state.connections.shape[0] > 0:
+        from .broadphase import _connection_mask
+
+        keep &= ~_connection_mask(i_body, j_body, state.connections)
+    j = j_id
 
     # --- big colliders: dense side channel against everyone ---
     big_cap = cfg.max_big_colliders
