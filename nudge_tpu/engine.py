@@ -19,22 +19,18 @@ from .ops.cache import read_cached_impulses, write_cached_impulses
 from .ops.contacts import collide
 from .ops.integrate import advance, apply_gravity
 from .ops.sleeping import update_sleep
+from .ops.setup_kernel import setup_solve_fused
 from .ops.solver import accumulated_world_impulse, setup_constraints, solve
-from .ops.solver_kernel import kernel_fits, solve_pallas
+from .ops.solver_kernel import kernel_fits
 from .state import SimState
 
 
-def _solve_dispatch(bodies, con, acc, cfg: SimConfig):
-    """Choose the Pallas mega-kernel (M5) when it fits VMEM and we are on
-    TPU; otherwise the XLA color-pass solve. Static decision at trace time."""
-    if cfg.solver == "pallas":
-        return solve_pallas(bodies, con, acc, cfg)
-    if cfg.solver == "pallas_interpret":
-        return solve_pallas(bodies, con, acc, cfg, interpret=True)
-    if (cfg.solver == "auto" and jax.default_backend() == "tpu"
-            and kernel_fits(cfg, bodies.pos.shape[0])):
-        return solve_pallas(bodies, con, acc, cfg)
-    return solve(bodies, con, acc, cfg)
+def _use_kernels(cfg: SimConfig, n_bodies: int) -> bool:
+    """Static (trace-time) choice of the Pallas setup+solve path (M5)."""
+    if cfg.solver in ("pallas", "pallas_interpret"):
+        return True
+    return (cfg.solver == "auto" and jax.default_backend() == "tpu"
+            and kernel_fits(cfg, n_bodies))
 
 
 @struct.dataclass
@@ -55,11 +51,16 @@ def step(state: SimState, cfg: SimConfig):
 
     contacts, bp = collide(state, cfg)
     warm = read_cached_impulses(state.cache, contacts)
-    con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
-    bodies, acc = _solve_dispatch(bodies, con, acc, cfg)
-    cache = write_cached_impulses(
-        contacts, accumulated_world_impulse(con, acc)
-    )
+    if _use_kernels(cfg, bodies.pos.shape[0]):
+        bodies, acc_world, spill = setup_solve_fused(
+            bodies, contacts, warm, cfg,
+            interpret=(cfg.solver == "pallas_interpret"))
+    else:
+        con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
+        bodies, acc = solve(bodies, con, acc, cfg)
+        acc_world = accumulated_world_impulse(con, acc)
+        spill = con.spill_count
+    cache = write_cached_impulses(contacts, acc_world)
 
     bodies = advance(bodies, state.sleep, cfg)
     sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
@@ -77,7 +78,7 @@ def step(state: SimState, cfg: SimConfig):
     metrics = StepMetrics(
         contact_count=contacts.contact_count,
         max_depth=jnp.max(jnp.where(contacts.point_valid, contacts.depth, 0.0)),
-        spill_count=con.spill_count,
+        spill_count=spill,
         overflow=contacts.overflow,
         awake_count=jnp.sum((dyn & sleep.awake).astype(jnp.int32)),
         kinetic_energy=ke,

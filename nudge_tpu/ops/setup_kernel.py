@@ -1,0 +1,408 @@
+"""Pallas TPU kernel for contact-constraint setup (SURVEY C10, fused M5+).
+
+The XLA `setup_constraints` is ~100 small ops over [M,P] arrays (body gathers,
+quaternion rotations, effective masses, warm-start projection + scatter) and
+dominates the non-kernel step cost once the solve runs in Pallas. This kernel
+computes the ENTIRE packed constraint tensor consumed by the solve kernel
+(solver_kernel.py row layout) directly on-chip:
+
+  - XLA packs only a thin per-manifold *geometry* payload (normal, friction,
+    contact points, depths, warm impulses, body ids) into color-sorted tiles
+    — one gather instead of ~25 scatters of derived rows;
+  - per tile, body state (pos/quat/inv-inertia/inv-mass) is gathered with the
+    same windowed one-hot MXU matmuls as the solver; contact frames, angular
+    response vectors I⁻¹(r×d), effective masses and Baumgarte bias are pure
+    [3,128]-row math (reference: setup_contact_constraints, SURVEY §3.C);
+  - warm-start impulses are projected onto the new frames, clamped, written
+    to the accumulator tensor, and their velocity change is scattered into
+    the resident body-momentum table (reference applies warm starts in setup).
+
+Output feeds solver_kernel._solve_kernel unchanged — together they leave only
+broadphase/narrowphase/cache-join outside the kernel layer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CONTACT_POINTS, SimConfig
+from ..state import Bodies
+from .solver_kernel import (
+    CON_ROWS, LANES, _IDX_SENT, _PT, _PT0, _rup, _rup_j, padded_tiles,
+)
+
+GEOM_ROWS = 40
+# geometry payload row layout (column = manifold):
+#   0:3 n | 3 mu | 4 relax | 5 idx_a | 6 idx_b | 7 live
+#   8:20  pos   (p-major: 8 + 3p + c)
+#   20:24 depth
+#   24:36 warm impulse (p-major)
+#   36:40 point_valid
+
+# body table row layout (column = body):
+#   0:3 pos | 3:7 quat | 7:10 inv_inertia | 10 inv_mass
+#   11:14 vel | 14:17 angvel (pre-step; only packed when restitution > 0)
+def body_rows(cfg: SimConfig) -> int:
+    return 24 if cfg.restitution > 0.0 else 16
+
+
+def color_slots(color, m: int, cfg: SimConfig):
+    """Tile-padded color-sorted slot for every manifold (each 128-wide tile
+    single-color). Returns (slot i32[M], mpad)."""
+    n_tiles = padded_tiles(cfg)
+    mpad = n_tiles * LANES
+    color = jnp.minimum(color, cfg.max_colors)
+    order = jnp.argsort(color, stable=True)
+    sc = color[order]
+    starts = jnp.searchsorted(
+        sc, jnp.arange(cfg.max_colors + 1, dtype=jnp.int32)).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
+    sizes = ends - starts
+    pstart = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(_rup_j(sizes))[:-1].astype(jnp.int32),
+    ])
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
+    slot_sorted = pstart[sc] + rank
+    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    return slot, mpad
+
+
+def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
+                  cfg: SimConfig):
+    """Build (velw, body_tbl, geom, tmin, tmax) for the setup kernel.
+
+    One [GEOM_ROWS, M+1] row stack + one gather by inverse slot replaces
+    per-row scatters; column M is the dead column every unused slot maps to.
+    """
+    n = bodies.pos.shape[0]
+    m = man.normal.shape[0]
+    npad = _rup(max(n, LANES), LANES)
+    n_tiles = mpad // LANES
+
+    velw = jnp.zeros((8, npad), jnp.float32)
+    velw = velw.at[0:3, :n].set(bodies.vel.T)
+    velw = velw.at[3:6, :n].set(bodies.angvel.T)
+    velw = velw.at[6, :n].set(bodies.inv_mass)
+
+    bt = jnp.zeros((body_rows(cfg), npad), jnp.float32)
+    bt = bt.at[0:3, :n].set(bodies.pos.T)
+    bt = bt.at[3:7, :n].set(bodies.quat.T)
+    bt = bt.at[7:10, :n].set(bodies.inv_inertia.T)
+    bt = bt.at[10, :n].set(bodies.inv_mass)
+    if cfg.restitution > 0.0:
+        bt = bt.at[11:14, :n].set(bodies.vel.T)
+        bt = bt.at[14:17, :n].set(bodies.angvel.T)
+
+    live = man.valid
+    ia = jnp.where(live, man.body_a, _IDX_SENT).astype(jnp.float32)
+    ib = jnp.where(live, man.body_b, _IDX_SENT).astype(jnp.float32)
+    P = CONTACT_POINTS
+    rows = jnp.concatenate([
+        man.normal.T,                                       # 0:3
+        man.friction[None, :],                              # 3
+        jnp.where(live, relax, 0.0)[None, :],               # 4
+        ia[None, :],                                        # 5
+        ib[None, :],                                        # 6
+        live.astype(jnp.float32)[None, :],                  # 7
+        man.pos.reshape(m, 3 * P).T,                        # 8:20
+        man.depth.T,                                        # 20:24
+        warm.reshape(m, 3 * P).T,                           # 24:36
+        man.point_valid.astype(jnp.float32).T,              # 36:40
+    ], axis=0)
+    # dead column: sentinel ids, zero everything else
+    dead = jnp.zeros((GEOM_ROWS, 1), jnp.float32)
+    dead = dead.at[5, 0].set(float(_IDX_SENT)).at[6, 0].set(float(_IDX_SENT))
+    rows = jnp.concatenate([rows, dead], axis=1)            # [40, M+1]
+    invslot = jnp.full((mpad,), m, jnp.int32).at[slot].set(
+        jnp.arange(m, dtype=jnp.int32))
+    geom = rows[:, invslot]                                 # [40, mpad]
+
+    # per-manifold-tile body-tile windows (as in pack_solver_inputs)
+    n_body_tiles = npad // LANES
+    iai = geom[5].astype(jnp.int32)
+    ibi = geom[6].astype(jnp.int32)
+    lv = geom[7] > 0.5
+    bt_lo = jnp.where(lv, jnp.minimum(iai, ibi) // LANES, 2 ** 30)
+    bt_hi = jnp.where(lv, jnp.maximum(iai, ibi) // LANES, -1)
+    tmin = jnp.minimum(bt_lo.reshape(n_tiles, LANES).min(axis=1),
+                       n_body_tiles).astype(jnp.int32)
+    tmax = jnp.clip(bt_hi.reshape(n_tiles, LANES).max(axis=1) + 1,
+                    0, n_body_tiles).astype(jnp.int32)
+    tmax = jnp.maximum(tmax, tmin)
+
+    return velw, bt, geom, tmin, tmax
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _cross3(a, b):
+    ax, ay, az = a[0:1], a[1:2], a[2:3]
+    bx, by, bz = b[0:1], b[1:2], b[2:3]
+    return jnp.concatenate(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=0)
+
+
+def _dot3(a, b):
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _qrot(q, v):
+    """Rotate [3,128] rows v by quaternion rows q[4,128] (body -> world)."""
+    u, w = q[0:3], q[3:4]
+    uv = _cross3(u, v)
+    return v + 2.0 * (w * uv + _cross3(u, uv))
+
+
+def _qrot_inv(q, v):
+    u, w = -q[0:3], q[3:4]
+    uv = _cross3(u, v)
+    return v + 2.0 * (w * uv + _cross3(u, uv))
+
+
+def _basis(n):
+    """Duff et al. tangent frame for unit normal rows n[3,128] (mirrors
+    mathx.orthonormal_basis)."""
+    nx, ny, nz = n[0:1], n[1:2], n[2:3]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t1 = jnp.concatenate([1.0 + sign * nx * nx * a, sign * b, -sign * nx], 0)
+    t2 = jnp.concatenate([b, sign + ny * ny * a, -ny], 0)
+    return t1, t2
+
+
+def _make_setup_kernel(cfg: SimConfig):
+    baumgarte_over_dt = cfg.baumgarte / cfg.dt
+    slop = cfg.slop
+    restitution = cfg.restitution
+    warm_start = cfg.warm_start
+    n_body_rows = body_rows(cfg)
+
+    def kernel(tmin_ref, tmax_ref, bt_ref, geom_ref, velw_in, velw_out,
+               con_out, acc_out):
+        t = pl.program_id(0)
+
+        # velw_out is NOT aliased to velw_in (aliased pallas outputs chained
+        # into the solve kernel corrupted buffers under scan+donation) —
+        # initialize the resident output block once, then accumulate into it
+        @pl.when(t == 0)
+        def _init():
+            velw_out[:, :] = velw_in[:, :]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
+                                        ).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+
+        idxa = geom_ref[5:6, :]
+        idxb = geom_ref[6:7, :]
+        live = geom_ref[7:8, :]
+        bt0 = tmin_ref[t]
+        bt1 = tmax_ref[t]
+
+        # ---- gather body rows (windowed one-hot matmuls) ----
+        def gather_bt(bti, AB):
+            A, B = AB
+            cols = pl.ds(bti * LANES, LANES)
+            tbl = bt_ref[:, cols]
+            oha = (brow + bti * LANES == idxa).astype(jnp.float32)
+            ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
+            A = A + jnp.dot(tbl, oha, preferred_element_type=jnp.float32,
+                            precision=hp)
+            B = B + jnp.dot(tbl, ohb, preferred_element_type=jnp.float32,
+                            precision=hp)
+            return A, B
+
+        A, B = jax.lax.fori_loop(
+            bt0, bt1, gather_bt,
+            (jnp.zeros((n_body_rows, LANES), jnp.float32),
+             jnp.zeros((n_body_rows, LANES), jnp.float32)))
+
+        pa, qa, iia, ima = A[0:3], A[3:7], A[7:10], A[10:11]
+        pb, qb, iib, imb = B[0:3], B[3:7], B[7:10], B[10:11]
+
+        n = geom_ref[0:3, :]
+        mu = geom_ref[3:4, :]
+        relax = geom_ref[4:5, :] * live
+        t1, t2 = _basis(n)
+
+        con_rows = [n, t1, t2, mu, relax]
+        acc_rows_n, acc_rows_t1, acc_rows_t2 = [], [], []
+        Pimp = jnp.zeros((3, LANES), jnp.float32)
+        dwa = jnp.zeros((3, LANES), jnp.float32)
+        dwb = jnp.zeros((3, LANES), jnp.float32)
+
+        for p in range(CONTACT_POINTS):
+            pos = geom_ref[8 + 3 * p:11 + 3 * p, :]
+            depth = geom_ref[20 + p:21 + p, :]
+            warm = geom_ref[24 + 3 * p:27 + 3 * p, :]
+            pv = geom_ref[36 + p:37 + p, :]
+
+            ra = pos - pa
+            rb = pos - pb
+
+            def eff(d):
+                rda = _cross3(ra, d)
+                rdb = _cross3(rb, d)
+                ja = _qrot(qa, iia * _qrot_inv(qa, rda))
+                jb = _qrot(qb, iib * _qrot_inv(qb, rdb))
+                k = ima + imb + _dot3(rda, ja) + _dot3(rdb, jb)
+                meff = jnp.where(k > 0.0, 1.0 / jnp.maximum(k, 1e-12), 0.0)
+                return ja, jb, meff
+
+            jna, jnb, mn = eff(n)
+            jt1a, jt1b, mt1 = eff(t1)
+            jt2a, jt2b, mt2 = eff(t2)
+
+            bias = baumgarte_over_dt * jnp.maximum(depth - slop, 0.0)
+            if restitution > 0.0:
+                va0, wa0 = A[11:14], A[14:17]
+                vb0, wb0 = B[11:14], B[14:17]
+                vrel0 = (vb0 + _cross3(wb0, rb)) - (va0 + _cross3(wa0, ra))
+                vn0 = _dot3(vrel0, n)
+                bias = jnp.maximum(
+                    bias, restitution * jnp.maximum(-vn0 - 1.0, 0.0))
+
+            # warm-start projection onto the new frame (clamped)
+            if warm_start:
+                an = jnp.maximum(_dot3(warm, n), 0.0) * pv
+                bound = mu * an
+                at1 = jnp.clip(_dot3(warm, t1), -bound, bound) * pv
+                at2 = jnp.clip(_dot3(warm, t2), -bound, bound) * pv
+            else:
+                an = jnp.zeros((1, LANES), jnp.float32)
+                at1 = an
+                at2 = an
+
+            Pimp = Pimp + an * n + at1 * t1 + at2 * t2
+            dwa = dwa + an * jna + at1 * jt1a + at2 * jt2a
+            dwb = dwb + an * jnb + at1 * jt1b + at2 * jt2b
+
+            con_rows += [ra, rb, jna, jnb, jt1a, jt1b, jt2a, jt2b,
+                         mn * pv, mt1 * pv, mt2 * pv, bias * pv]
+            acc_rows_n.append(an)
+            acc_rows_t1.append(at1)
+            acc_rows_t2.append(at2)
+
+        con_rows += [idxa, idxb, live,
+                     jnp.zeros((CON_ROWS - 126, LANES), jnp.float32)]
+        con_out[:, :] = jnp.concatenate(con_rows, axis=0)
+        acc_out[:, :] = jnp.concatenate(
+            acc_rows_n + acc_rows_t1 + acc_rows_t2
+            + [jnp.zeros((4, LANES), jnp.float32)], axis=0)
+
+        # ---- apply warm-start impulses to body momentum ----
+        dA = jnp.concatenate(
+            [-Pimp * ima, -dwa, jnp.zeros((2, LANES))], 0) * live
+        dB = jnp.concatenate(
+            [Pimp * imb, dwb, jnp.zeros((2, LANES))], 0) * live
+
+        def scatter_bt(bti, _):
+            cols = pl.ds(bti * LANES, LANES)
+            oha = (brow + bti * LANES == idxa).astype(jnp.float32)
+            ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
+            upd = (
+                jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=hp)
+                + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=hp)
+            )
+            velw_out[:, cols] = velw_out[:, cols] + upd
+            return 0
+
+        jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
+
+    return kernel
+
+
+def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
+                 cfg: SimConfig, interpret: bool = False):
+    """Run the setup kernel. Returns (velw, con_f, acc_f, tmin, tmax) ready
+    for solver_kernel's solve pass; velw already has warm starts applied."""
+    velw, bt, geom, tmin, tmax = pack_geometry(
+        bodies, man, warm, relax, slot, mpad, cfg)
+    npad = velw.shape[1]
+    n_tiles = mpad // LANES
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((body_rows(cfg), npad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # body table
+            pl.BlockSpec((GEOM_ROWS, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),          # geometry stream
+            pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # velw (resident)
+        ],
+        out_specs=[
+            pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # velw out
+            pl.BlockSpec((CON_ROWS, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),          # con tile
+            pl.BlockSpec((16, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),          # acc tile
+        ],
+    )
+    velw_out, con_f, acc_f = pl.pallas_call(
+        _make_setup_kernel(cfg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(velw.shape, jnp.float32),
+            jax.ShapeDtypeStruct((CON_ROWS, mpad), jnp.float32),
+            jax.ShapeDtypeStruct((16, mpad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tmin, tmax, bt, geom, velw)
+    return velw_out, con_f, acc_f, tmin, tmax
+
+
+def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
+                      interpret: bool = False):
+    """Full constraint setup + iterated solve in two Pallas kernels.
+
+    Replaces setup_constraints + solve for the TPU path (reference:
+    setup_contact_constraints + apply_impulses, SURVEY §3.C). Returns
+    (bodies, world_impulse f32[M,P,3] for the cache, spill_count)."""
+    from ..mathx import orthonormal_basis
+    from .solver import color_manifolds
+    from .solver_kernel import solve_packed
+
+    color, _, relax, spill = color_manifolds(man, bodies, cfg)
+    m = man.normal.shape[0]
+    slot, mpad = color_slots(color, m, cfg)
+
+    velw, con_f, acc_f, tmin, tmax = setup_pallas(
+        bodies, man, warm, relax, slot, mpad, cfg, interpret=interpret)
+    # alias=False is load-bearing: aliasing the solve's velw/acc in->out when
+    # the inputs are this setup call's sole-consumer outputs makes XLA chain
+    # the two custom calls through one donated buffer, which miscompiles at
+    # large N (deterministic garbage at 20480; bit-identical with/without
+    # scan donation or an optimization_barrier between the calls; every
+    # kernel verified correct whenever the buffers had a second consumer —
+    # scripts/debug_scan_chain2.py "solo" vs "chain" modes).
+    velw_out, acc_out = solve_packed(velw, con_f, acc_f, tmin, tmax, cfg,
+                                     interpret=interpret, alias=False)
+
+    n = bodies.pos.shape[0]
+    bodies = bodies.replace(vel=velw_out[0:3, :n].T,
+                            angvel=velw_out[3:6, :n].T)
+    acc_n = acc_out[0:4, :].T[slot]
+    acc_t1 = acc_out[4:8, :].T[slot]
+    acc_t2 = acc_out[8:12, :].T[slot]
+    t1, t2 = orthonormal_basis(man.normal)
+    world = (acc_n[..., None] * man.normal[:, None]
+             + acc_t1[..., None] * t1[:, None]
+             + acc_t2[..., None] * t2[:, None])
+    return bodies, world, spill

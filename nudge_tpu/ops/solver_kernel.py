@@ -190,7 +190,17 @@ def _cross3(a, b):
 
 def _solve_kernel(tmin_ref, tmax_ref, velw_ref, con_ref, acc_ref,
                   velw_out, acc_out):
+    i = pl.program_id(0)
     t = pl.program_id(1)
+
+    # seed the resident outputs from the inputs on the first grid step; with
+    # input_output_aliases this is a redundant same-value copy, without it
+    # (alias=False, see solve_packed) it is the required initialization
+    @pl.when((i == 0) & (t == 0))
+    def _init():
+        velw_out[:, :] = velw_ref[:, :]
+        acc_out[:, :] = acc_ref[:, :]
+
     brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
                                     ).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
@@ -301,12 +311,19 @@ def _solve_kernel(tmin_ref, tmax_ref, velw_ref, con_ref, acc_ref,
     jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
 
 
-def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
-                 interpret: bool = False):
-    """Drop-in replacement for solver.solve() using the mega-kernel."""
-    m = con.color.shape[0]
-    velw, cf, af, tmin, tmax, slot = pack_solver_inputs(
-        bodies, con, acc, cfg)
+def solve_packed(velw, cf, af, tmin, tmax, cfg: SimConfig,
+                 interpret: bool = False, alias: bool = True):
+    """Run the iterated solve on pre-packed tensors (from pack_solver_inputs
+    or the Pallas setup kernel). Returns (velw_out, acc_out).
+
+    `alias=False` disables the velw/acc input->output buffer aliasing. It is
+    REQUIRED when velw/af are outputs of another pallas_call with no other
+    consumer: XLA then aliases that custom call's output buffer straight into
+    this one and the compiled program returns deterministic garbage at large
+    N (20480-body pile; every kernel verified correct in isolation and when
+    the buffers had a second consumer — scripts/debug_scan_chain2.py). With
+    XLA-op-produced inputs (pack_solver_inputs) aliasing is safe and saves
+    the copy."""
     npad = velw.shape[1]
     mpad = cf.shape[1]
     n_tiles = mpad // LANES
@@ -336,14 +353,25 @@ def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
             jax.ShapeDtypeStruct(af.shape, jnp.float32),
         ],
-        input_output_aliases={2: 0, 4: 1},   # velw->out0, acc->out1
+        # velw->out0, acc->out1 (skipped when alias=False, see docstring)
+        input_output_aliases={2: 0, 4: 1} if alias else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tmin, tmax, velw, cf, af)
+    return velw_out, acc_out
 
+
+def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
+                 interpret: bool = False):
+    """Drop-in replacement for solver.solve() using the mega-kernel."""
+    m = con.color.shape[0]
+    velw, cf, af, tmin, tmax, slot = pack_solver_inputs(
+        bodies, con, acc, cfg)
+    velw_out, acc_out = solve_packed(velw, cf, af, tmin, tmax, cfg,
+                                     interpret=interpret)
     return unpack_solver_outputs(bodies, velw_out, acc_out, slot, m)
 
 
@@ -352,6 +380,10 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
     streamed constraint tile buffers. `con` itself is HBM-bound."""
     npad = _rup(max(n_bodies, LANES), LANES)
     mpad = padded_tiles(cfg) * LANES
-    resident = 8 * npad * 4 + 16 * mpad * 4      # velw + acc (aliased in/out)
+    # two separate pallas calls, each must fit ~10MB of the 16MB VMEM:
+    # solve residents = velw + acc (acc must stay resident — streamed
+    # aliased read-back is not exact); setup residents = velw + body table
+    body_tbl_rows = 24 if cfg.restitution > 0.0 else 16
+    resident = 8 * npad * 4 + max(16 * mpad, body_tbl_rows * npad) * 4
     buffers = 4 * CON_ROWS * LANES * 4
-    return (resident + buffers) < 8 * 1024 * 1024
+    return (resident + buffers) < 10 * 1024 * 1024

@@ -1,0 +1,90 @@
+"""Pallas setup kernel vs XLA setup_constraints (fused M5+ path).
+
+The setup kernel computes the packed constraint tensor on-chip; the XLA path
+computes it with jnp ops and packs it with scatters. Live lanes must match to
+float-reassociation tolerance; dead/padding lanes legitimately differ (XLA
+zero-fills, the kernel computes benign values) and are excluded — the solve
+masks them by the `live` row.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from nudge_tpu.engine import simulate
+from nudge_tpu.ops.cache import read_cached_impulses
+from nudge_tpu.ops.contacts import collide
+from nudge_tpu.ops.integrate import apply_gravity
+from nudge_tpu.ops.setup_kernel import (
+    color_slots, setup_pallas, setup_solve_fused,
+)
+from nudge_tpu.ops.solver import (
+    accumulated_world_impulse, color_manifolds, setup_constraints, solve,
+)
+from nudge_tpu.ops.solver_kernel import pack_solver_inputs
+from nudge_tpu.scenes import SceneBuilder, scene_pile
+
+
+@pytest.fixture(scope="module")
+def pile_inputs():
+    b = scene_pile(24, sphere_frac=0.3, seed=2)
+    cfg = b.auto_config()
+    st = b.finalize(cfg)
+    st, _ = simulate(st, cfg, 80)
+    bodies = apply_gravity(st.bodies, st.sleep, cfg)
+    man, _ = collide(st, cfg)
+    warm = read_cached_impulses(st.cache, man)
+    return cfg, bodies, man, warm
+
+
+def test_setup_kernel_matches_xla_pack(pile_inputs):
+    cfg, bodies, man, warm = pile_inputs
+    con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
+    velw_x, cf_x, af_x, tmin_x, tmax_x, slot_x = pack_solver_inputs(
+        bodies_x, con, acc, cfg)
+
+    color, _, relax, _ = color_manifolds(man, bodies, cfg)
+    slot_p, mpad = color_slots(color, man.normal.shape[0], cfg)
+    velw_p, cf_p, af_p, tmin_p, tmax_p = setup_pallas(
+        bodies, man, warm, relax, slot_p, mpad, cfg, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(slot_x), np.asarray(slot_p))
+    np.testing.assert_array_equal(np.asarray(tmin_x), np.asarray(tmin_p))
+    np.testing.assert_array_equal(np.asarray(tmax_x), np.asarray(tmax_p))
+    live = np.asarray(cf_x)[125] > 0.5
+    assert live.any()
+    np.testing.assert_allclose(
+        np.asarray(cf_x)[:, live], np.asarray(cf_p)[:, live], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(af_x), np.asarray(af_p), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(velw_x), np.asarray(velw_p), atol=1e-5)
+
+
+def test_fused_solve_matches_xla_solve(pile_inputs):
+    cfg, bodies, man, warm = pile_inputs
+    con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
+    bodies_sx, acc_sx = solve(bodies_x, con, acc, cfg)
+    world_x = accumulated_world_impulse(con, acc_sx)
+
+    bodies_f, world_f, spill_f = setup_solve_fused(
+        bodies, man, warm, cfg, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(bodies_sx.vel), np.asarray(bodies_f.vel), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(bodies_sx.angvel), np.asarray(bodies_f.angvel), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(world_x), np.asarray(world_f), atol=1e-5)
+    assert int(spill_f) == int(con.spill_count)
+
+
+def test_fused_rollout_settles():
+    """Short end-to-end rollout through engine.step's fused dispatch."""
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))
+    cfg = b.auto_config(solver="pallas_interpret")
+    st, m = simulate(b.finalize(cfg), cfg, 120)
+    pos = np.asarray(st.bodies.pos[1])
+    assert abs(pos[1] - 0.5) < 0.02
+    assert float(np.asarray(m.kinetic_energy[-1])) < 1e-4
