@@ -31,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CONTACT_POINTS, SimConfig
 from ..state import Bodies
 from .solver_kernel import (
-    CON_ROWS, LANES, _IDX_SENT, _PT, _PT0, _rup, _rup_j, padded_tiles,
+    CON_ROWS, LANES, WORD_BITS, _IDX_SENT, _PT, _PT0, _rup, _rup_j,
+    color_sorted_slots, dynamic_windows, padded_tiles, spatial_subkey,
+    window_words,
 )
 
 GEOM_ROWS = 40
@@ -49,26 +51,14 @@ def body_rows(cfg: SimConfig) -> int:
     return 24 if cfg.restitution > 0.0 else 16
 
 
-def color_slots(color, m: int, cfg: SimConfig):
+def color_slots(color, man, bodies: Bodies, cfg: SimConfig):
     """Tile-padded color-sorted slot for every manifold (each 128-wide tile
-    single-color). Returns (slot i32[M], mpad)."""
-    n_tiles = padded_tiles(cfg)
-    mpad = n_tiles * LANES
-    color = jnp.minimum(color, cfg.max_colors)
-    order = jnp.argsort(color, stable=True)
-    sc = color[order]
-    starts = jnp.searchsorted(
-        sc, jnp.arange(cfg.max_colors + 1, dtype=jnp.int32)).astype(jnp.int32)
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
-    sizes = ends - starts
-    pstart = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(_rup_j(sizes))[:-1].astype(jnp.int32),
-    ])
-    rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
-    slot_sorted = pstart[sc] + rank
-    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
-    return slot, mpad
+    single-color, spatially ordered within a color — see
+    solver_kernel.spatial_subkey). Returns (slot i32[M], mpad)."""
+    dyn = bodies.inv_mass > 0.0
+    sub = spatial_subkey(man.body_a, man.body_b,
+                         dyn[man.body_a], dyn[man.body_b])
+    return color_sorted_slots(color, sub, man.normal.shape[0], cfg)
 
 
 def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
@@ -121,20 +111,14 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
         jnp.arange(m, dtype=jnp.int32))
     geom = rows[:, invslot]                                 # [40, mpad]
 
-    # per-manifold-tile body-tile windows (as in pack_solver_inputs)
-    n_body_tiles = npad // LANES
-    iai = geom[5].astype(jnp.int32)
-    ibi = geom[6].astype(jnp.int32)
-    lv = geom[7] > 0.5
-    bt_lo = jnp.where(lv, jnp.minimum(iai, ibi) // LANES, 2 ** 30)
-    bt_hi = jnp.where(lv, jnp.maximum(iai, ibi) // LANES, -1)
-    tmin = jnp.minimum(bt_lo.reshape(n_tiles, LANES).min(axis=1),
-                       n_body_tiles).astype(jnp.int32)
-    tmax = jnp.clip(bt_hi.reshape(n_tiles, LANES).max(axis=1) + 1,
-                    0, n_body_tiles).astype(jnp.int32)
-    tmax = jnp.maximum(tmax, tmin)
+    # per-manifold-tile body-tile windows over dynamic sides only (see
+    # solver_kernel.spatial_subkey for why static sides are excluded)
+    dyn = bodies.inv_mass > 0.0
+    win = dynamic_windows(
+        slot, live, man.body_a, man.body_b, dyn[man.body_a],
+        dyn[man.body_b], mpad, npad // LANES)
 
-    return velw, bt, geom, tmin, tmax
+    return velw, bt, geom, win
 
 
 # ---------------------------------------------------------------------------
@@ -177,15 +161,15 @@ def _basis(n):
     return t1, t2
 
 
-def _make_setup_kernel(cfg: SimConfig):
+def _make_setup_kernel(cfg: SimConfig, w_words: int):
     baumgarte_over_dt = cfg.baumgarte / cfg.dt
     slop = cfg.slop
     restitution = cfg.restitution
     warm_start = cfg.warm_start
     n_body_rows = body_rows(cfg)
 
-    def kernel(tmin_ref, tmax_ref, bt_ref, geom_ref, velw_in, velw_out,
-               con_out, acc_out):
+    def kernel(tmin_ref, tmax_ref, bits_ref, bt_ref, geom_ref, velw_in,
+               velw_out, con_out, acc_out, gA, gB):
         t = pl.program_id(0)
 
         # velw_out is NOT aliased to velw_in (aliased pallas outputs chained
@@ -205,23 +189,30 @@ def _make_setup_kernel(cfg: SimConfig):
         bt0 = tmin_ref[t]
         bt1 = tmax_ref[t]
 
-        # ---- gather body rows (windowed one-hot matmuls) ----
-        def gather_bt(bti, AB):
-            A, B = AB
-            cols = pl.ds(bti * LANES, LANES)
-            tbl = bt_ref[:, cols]
-            oha = (brow + bti * LANES == idxa).astype(jnp.float32)
-            ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
-            A = A + jnp.dot(tbl, oha, preferred_element_type=jnp.float32,
-                            precision=hp)
-            B = B + jnp.dot(tbl, ohb, preferred_element_type=jnp.float32,
-                            precision=hp)
-            return A, B
+        def member(bti):
+            word = bits_ref[t * w_words + bti // WORD_BITS]
+            return ((word >> (bti % WORD_BITS)) & 1) > 0
 
-        A, B = jax.lax.fori_loop(
-            bt0, bt1, gather_bt,
-            (jnp.zeros((n_body_rows, LANES), jnp.float32),
-             jnp.zeros((n_body_rows, LANES), jnp.float32)))
+        # ---- gather body rows (windowed one-hot matmuls, bits skip) ----
+        gA[:, :] = jnp.zeros((n_body_rows, LANES), jnp.float32)
+        gB[:, :] = jnp.zeros((n_body_rows, LANES), jnp.float32)
+
+        def gather_bt(bti, _):
+            @pl.when(member(bti))
+            def _():
+                cols = pl.ds(bti * LANES, LANES)
+                tbl = bt_ref[:, cols]
+                oha = (brow + bti * LANES == idxa).astype(jnp.float32)
+                ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
+                gA[:, :] = gA[:, :] + jnp.dot(
+                    tbl, oha, preferred_element_type=jnp.float32, precision=hp)
+                gB[:, :] = gB[:, :] + jnp.dot(
+                    tbl, ohb, preferred_element_type=jnp.float32, precision=hp)
+            return 0
+
+        jax.lax.fori_loop(bt0, bt1, gather_bt, 0)
+        A = gA[:, :]
+        B = gB[:, :]
 
         pa, qa, iia, ima = A[0:3], A[3:7], A[7:10], A[10:11]
         pb, qb, iib, imb = B[0:3], B[3:7], B[7:10], B[10:11]
@@ -303,18 +294,20 @@ def _make_setup_kernel(cfg: SimConfig):
             [Pimp * imb, dwb, jnp.zeros((2, LANES))], 0) * live
 
         def scatter_bt(bti, _):
-            cols = pl.ds(bti * LANES, LANES)
-            oha = (brow + bti * LANES == idxa).astype(jnp.float32)
-            ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
-            upd = (
-                jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=hp)
-                + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=hp)
-            )
-            velw_out[:, cols] = velw_out[:, cols] + upd
+            @pl.when(member(bti))
+            def _():
+                cols = pl.ds(bti * LANES, LANES)
+                oha = (brow + bti * LANES == idxa).astype(jnp.float32)
+                ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
+                upd = (
+                    jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=hp)
+                    + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32,
+                                          precision=hp)
+                )
+                velw_out[:, cols] = velw_out[:, cols] + upd
             return 0
 
         jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
@@ -324,15 +317,16 @@ def _make_setup_kernel(cfg: SimConfig):
 
 def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
                  cfg: SimConfig, interpret: bool = False):
-    """Run the setup kernel. Returns (velw, con_f, acc_f, tmin, tmax) ready
-    for solver_kernel's solve pass; velw already has warm starts applied."""
-    velw, bt, geom, tmin, tmax = pack_geometry(
+    """Run the setup kernel. Returns (velw, con_f, acc_f, win) ready for
+    solver_kernel's solve pass; velw already has warm starts applied."""
+    velw, bt, geom, win = pack_geometry(
         bodies, man, warm, relax, slot, mpad, cfg)
     npad = velw.shape[1]
     n_tiles = mpad // LANES
 
+    w_words = window_words(npad // LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((body_rows(cfg), npad), lambda t, *_: (0, 0),
@@ -350,9 +344,14 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
             pl.BlockSpec((16, LANES), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),          # acc tile
         ],
+        scratch_shapes=[
+            pltpu.VMEM((body_rows(cfg), LANES), jnp.float32),   # gather A
+            pltpu.VMEM((body_rows(cfg), LANES), jnp.float32),   # gather B
+        ],
     )
+    tmin, tmax, bits = win
     velw_out, con_f, acc_f = pl.pallas_call(
-        _make_setup_kernel(cfg),
+        _make_setup_kernel(cfg, w_words),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
@@ -364,8 +363,8 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tmin, tmax, bt, geom, velw)
-    return velw_out, con_f, acc_f, tmin, tmax
+    )(tmin, tmax, bits, bt, geom, velw)
+    return velw_out, con_f, acc_f, win
 
 
 def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
@@ -381,9 +380,9 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
 
     color, _, relax, spill = color_manifolds(man, bodies, cfg)
     m = man.normal.shape[0]
-    slot, mpad = color_slots(color, m, cfg)
+    slot, mpad = color_slots(color, man, bodies, cfg)
 
-    velw, con_f, acc_f, tmin, tmax = setup_pallas(
+    velw, con_f, acc_f, win = setup_pallas(
         bodies, man, warm, relax, slot, mpad, cfg, interpret=interpret)
     # alias=False is load-bearing: aliasing the solve's velw/acc in->out when
     # the inputs are this setup call's sole-consumer outputs makes XLA chain
@@ -392,7 +391,7 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     # scan donation or an optimization_barrier between the calls; every
     # kernel verified correct whenever the buffers had a second consumer —
     # scripts/debug_scan_chain2.py "solo" vs "chain" modes).
-    velw_out, acc_out = solve_packed(velw, con_f, acc_f, tmin, tmax, cfg,
+    velw_out, acc_out = solve_packed(velw, con_f, acc_f, win, cfg,
                                      interpret=interpret, alias=False)
 
     n = bodies.pos.shape[0]

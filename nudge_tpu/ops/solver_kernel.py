@@ -73,6 +73,87 @@ def padded_tiles(cfg: SimConfig) -> int:
 # packing (XLA side)
 # ---------------------------------------------------------------------------
 
+def spatial_subkey(body_a, body_b, dyn_a, dyn_b):
+    """Within-color ordering key: the smallest DYNAMIC body id of the
+    manifold. Static sides are excluded both here and from the gather
+    windows — a static body's velocity/inv-mass gather is exactly zero and
+    every term involving it carries its zero inverse inertia, so the kernels
+    never need its tile. Sorting by the dynamic body id keeps each
+    128-manifold tile's window over a narrow band of body tiles (ground
+    contacts would otherwise pin every window to body tile 0)."""
+    big = jnp.int32((1 << 24) - 1)
+    return jnp.minimum(jnp.minimum(
+        jnp.where(dyn_a, body_a, big), jnp.where(dyn_b, body_b, big)), big)
+
+
+def color_sorted_slots(color, sub_key, m: int, cfg: SimConfig):
+    """Tile-padded color-sorted slot of every manifold (tiles single-color,
+    ordered by `sub_key` within a color). Returns (slot i32[M], mpad)."""
+    n_tiles = padded_tiles(cfg)
+    mpad = n_tiles * LANES
+    color = jnp.minimum(color, cfg.max_colors)  # invalid -> last segment
+    key = color * jnp.int32(1 << 24) + sub_key
+    order = jnp.argsort(key, stable=True)
+    sc = color[order]
+    starts = jnp.searchsorted(
+        sc, jnp.arange(cfg.max_colors + 1, dtype=jnp.int32)).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
+    sizes = ends - starts
+    pstart = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(_rup_j(sizes))[:-1].astype(jnp.int32),
+    ])
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
+    slot_sorted = pstart[sc] + rank
+    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    return slot, mpad
+
+
+WORD_BITS = 16          # membership bits per i32 word (kept positive)
+
+
+def window_words(n_body_tiles: int) -> int:
+    return -(-n_body_tiles // WORD_BITS)
+
+
+def dynamic_windows(slot, valid, body_a, body_b, dyn_a, dyn_b, mpad,
+                    n_body_tiles):
+    """Per-manifold-tile gather windows over DYNAMIC sides only (see
+    spatial_subkey). Returns (tmin, tmax, bits):
+
+      tmin/tmax i32[n_tiles] — contiguous [tmin, tmax) body-tile bounds;
+      bits i32[n_tiles * W]  — per-tile membership bitmask (WORD_BITS body
+        tiles per word), letting the kernel loop skip body tiles none of the
+        tile's manifolds touch. Skewed color sizes make the contiguous range
+        ~3.6x wider than the member set on settled piles (mean 60 vs 17 body
+        tiles at 20480), so the skip is the difference between sweeping the
+        pile and sweeping the neighborhood."""
+    n_tiles = mpad // LANES
+    wlo = jnp.minimum(jnp.where(valid & dyn_a, body_a, 2 ** 30),
+                      jnp.where(valid & dyn_b, body_b, 2 ** 30)) // LANES
+    whi = jnp.maximum(jnp.where(valid & dyn_a, body_a, -1),
+                      jnp.where(valid & dyn_b, body_b, -1)) // LANES
+    wlo_pad = jnp.full((mpad,), 2 ** 30, jnp.int32).at[slot].set(
+        wlo.astype(jnp.int32))
+    whi_pad = jnp.full((mpad,), -1, jnp.int32).at[slot].set(
+        whi.astype(jnp.int32))
+    tmin = jnp.minimum(wlo_pad.reshape(n_tiles, LANES).min(axis=1),
+                       n_body_tiles).astype(jnp.int32)
+    tmax = jnp.clip(whi_pad.reshape(n_tiles, LANES).max(axis=1) + 1,
+                    0, n_body_tiles).astype(jnp.int32)
+
+    w = window_words(n_body_tiles)
+    tile_of = slot // LANES
+    dense = jnp.zeros((n_tiles, w * WORD_BITS), jnp.int32)
+    bta = jnp.clip(body_a // LANES, 0, n_body_tiles - 1)
+    btb = jnp.clip(body_b // LANES, 0, n_body_tiles - 1)
+    dense = dense.at[tile_of, bta].max((valid & dyn_a).astype(jnp.int32))
+    dense = dense.at[tile_of, btb].max((valid & dyn_b).astype(jnp.int32))
+    weights = (jnp.int32(1) << jnp.arange(WORD_BITS, dtype=jnp.int32))
+    bits = jnp.sum(dense.reshape(n_tiles, w, WORD_BITS) * weights, axis=-1)
+    return tmin, jnp.maximum(tmax, tmin), bits.reshape(-1).astype(jnp.int32)
+
+
 def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     """Color-sort manifolds and scatter them into a tile-padded layout where
     each 128-wide tile holds manifolds of a single color.
@@ -89,21 +170,11 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     velw = velw.at[3:6, :n].set(bodies.angvel.T)
     velw = velw.at[6, :n].set(bodies.inv_mass)
 
-    # padded color-sorted slot of every manifold
-    color = jnp.minimum(con.color, cfg.max_colors)  # invalid -> last segment
-    order = jnp.argsort(color, stable=True)
-    sc = color[order]
-    starts = jnp.searchsorted(
-        sc, jnp.arange(cfg.max_colors + 1, dtype=jnp.int32)).astype(jnp.int32)
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
-    sizes = ends - starts
-    pstart = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(_rup_j(sizes))[:-1].astype(jnp.int32),
-    ])
-    rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
-    slot_sorted = pstart[sc] + rank
-    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    dyn_a = con.im_a > 0.0
+    dyn_b = con.im_b > 0.0
+    slot, _ = color_sorted_slots(
+        con.color, spatial_subkey(con.body_a, con.body_b, dyn_a, dyn_b),
+        m, cfg)
 
     def put(buf, row, x, fill=0.0):
         y = jnp.full((mpad,) + x.shape[1:], fill, x.dtype)
@@ -153,17 +224,11 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     af = put(af, 4, acc_t1)
     af = put(af, 8, acc_t2)
 
-    # per-tile body-tile windows
-    n_body_tiles = npad // LANES
-    bt_lo = jnp.where(live > 0, jnp.minimum(ia, ib) // LANES, 2 ** 30)
-    bt_hi = jnp.where(live > 0, jnp.maximum(ia, ib) // LANES, -1)
-    tmin = jnp.minimum(bt_lo.reshape(n_tiles, LANES).min(axis=1),
-                       n_body_tiles).astype(jnp.int32)
-    tmax = jnp.clip(bt_hi.reshape(n_tiles, LANES).max(axis=1) + 1,
-                    0, n_body_tiles).astype(jnp.int32)
-    tmax = jnp.maximum(tmax, tmin)        # empty tile -> zero-trip window
+    # per-tile body-tile windows over dynamic sides only
+    win = dynamic_windows(slot, con.valid, con.body_a, con.body_b,
+                          dyn_a, dyn_b, mpad, npad // LANES)
 
-    return velw, cf, af, tmin, tmax, slot
+    return velw, cf, af, win, slot
 
 
 def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m):
@@ -188,8 +253,8 @@ def _cross3(a, b):
     )
 
 
-def _solve_kernel(tmin_ref, tmax_ref, velw_ref, con_ref, acc_ref,
-                  velw_out, acc_out):
+def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
+                  velw_out, acc_out, gA, gB, *, w_words):
     i = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -212,24 +277,32 @@ def _solve_kernel(tmin_ref, tmax_ref, velw_ref, con_ref, acc_ref,
     bt0 = tmin_ref[t]
     bt1 = tmax_ref[t]
 
-    # ---- gather body columns (windowed one-hot matmuls) ----
-    def gather_bt(bt, AB):
-        A, B = AB
-        cols = pl.ds(bt * LANES, LANES)
-        vt = velw_out[:, cols]
-        oha = (brow + bt * LANES == idxa).astype(jnp.float32)
-        ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
-        A = A + jnp.dot(vt, oha, preferred_element_type=jnp.float32,
-                        precision=hp)
-        B = B + jnp.dot(vt, ohb, preferred_element_type=jnp.float32,
-                        precision=hp)
-        return A, B
+    def member(bt):
+        """Does this manifold tile touch body tile bt? (bits skip, see
+        dynamic_windows)."""
+        word = bits_ref[t * w_words + bt // WORD_BITS]
+        return ((word >> (bt % WORD_BITS)) & 1) > 0
 
-    A, B = jax.lax.fori_loop(
-        bt0, bt1, gather_bt,
-        (jnp.zeros((8, LANES), jnp.float32),
-         jnp.zeros((8, LANES), jnp.float32)),
-    )
+    # ---- gather body columns (windowed one-hot matmuls, scratch-accum) ----
+    gA[:, :] = jnp.zeros((8, LANES), jnp.float32)
+    gB[:, :] = jnp.zeros((8, LANES), jnp.float32)
+
+    def gather_bt(bt, _):
+        @pl.when(member(bt))
+        def _():
+            cols = pl.ds(bt * LANES, LANES)
+            vt = velw_out[:, cols]
+            oha = (brow + bt * LANES == idxa).astype(jnp.float32)
+            ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
+            gA[:, :] = gA[:, :] + jnp.dot(
+                vt, oha, preferred_element_type=jnp.float32, precision=hp)
+            gB[:, :] = gB[:, :] + jnp.dot(
+                vt, ohb, preferred_element_type=jnp.float32, precision=hp)
+        return 0
+
+    jax.lax.fori_loop(bt0, bt1, gather_bt, 0)
+    A = gA[:, :]
+    B = gB[:, :]
 
     va, wa, ima = A[0:3], A[3:6], A[6:7]
     vb, wb, imb = B[0:3], B[3:6], B[6:7]
@@ -294,24 +367,26 @@ def _solve_kernel(tmin_ref, tmax_ref, velw_ref, con_ref, acc_ref,
 
     # ---- scatter (conflict-free: the tile is single-color) ----
     def scatter_bt(bt, _):
-        cols = pl.ds(bt * LANES, LANES)
-        oha = (brow + bt * LANES == idxa).astype(jnp.float32)
-        ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
-        upd = (
-            jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=hp)
-            + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=hp)
-        )
-        velw_out[:, cols] = velw_out[:, cols] + upd
+        @pl.when(member(bt))
+        def _():
+            cols = pl.ds(bt * LANES, LANES)
+            oha = (brow + bt * LANES == idxa).astype(jnp.float32)
+            ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
+            upd = (
+                jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=hp)
+                + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=hp)
+            )
+            velw_out[:, cols] = velw_out[:, cols] + upd
         return 0
 
     jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
 
 
-def solve_packed(velw, cf, af, tmin, tmax, cfg: SimConfig,
+def solve_packed(velw, cf, af, win, cfg: SimConfig,
                  interpret: bool = False, alias: bool = True):
     """Run the iterated solve on pre-packed tensors (from pack_solver_inputs
     or the Pallas setup kernel). Returns (velw_out, acc_out).
@@ -324,12 +399,14 @@ def solve_packed(velw, cf, af, tmin, tmax, cfg: SimConfig,
     the buffers had a second consumer — scripts/debug_scan_chain2.py). With
     XLA-op-produced inputs (pack_solver_inputs) aliasing is safe and saves
     the copy."""
+    tmin, tmax, bits = win
     npad = velw.shape[1]
     mpad = cf.shape[1]
     n_tiles = mpad // LANES
+    w_words = window_words(npad // LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cfg.solver_iters, n_tiles),
         in_specs=[
             pl.BlockSpec((8, npad), lambda i, t, *_: (0, 0),
@@ -345,22 +422,26 @@ def solve_packed(velw, cf, af, tmin, tmax, cfg: SimConfig,
             pl.BlockSpec((16, mpad), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),            # acc out
         ],
+        scratch_shapes=[
+            pltpu.VMEM((8, LANES), jnp.float32),              # gather A
+            pltpu.VMEM((8, LANES), jnp.float32),              # gather B
+        ],
     )
     velw_out, acc_out = pl.pallas_call(
-        _solve_kernel,
+        partial(_solve_kernel, w_words=w_words),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
             jax.ShapeDtypeStruct(af.shape, jnp.float32),
         ],
         # velw->out0, acc->out1 (skipped when alias=False, see docstring)
-        input_output_aliases={2: 0, 4: 1} if alias else {},
+        input_output_aliases={3: 0, 5: 1} if alias else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tmin, tmax, velw, cf, af)
+    )(tmin, tmax, bits, velw, cf, af)
     return velw_out, acc_out
 
 
@@ -368,9 +449,9 @@ def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
                  interpret: bool = False):
     """Drop-in replacement for solver.solve() using the mega-kernel."""
     m = con.color.shape[0]
-    velw, cf, af, tmin, tmax, slot = pack_solver_inputs(
+    velw, cf, af, win, slot = pack_solver_inputs(
         bodies, con, acc, cfg)
-    velw_out, acc_out = solve_packed(velw, cf, af, tmin, tmax, cfg,
+    velw_out, acc_out = solve_packed(velw, cf, af, win, cfg,
                                      interpret=interpret)
     return unpack_solver_outputs(bodies, velw_out, acc_out, slot, m)
 

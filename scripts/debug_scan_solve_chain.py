@@ -42,16 +42,17 @@ def main(n=20480, steps=8):
 
         # XLA reference setup + pack + solve
         con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-        velw_x, cf_x, af_x, tmin_x, tmax_x, slot_x = pack_solver_inputs(
+        velw_x, cf_x, af_x, win_x, slot_x = pack_solver_inputs(
             bodies_x, con, acc, cfg)
-        velw_ox, acc_ox = solve_packed(velw_x, cf_x, af_x, tmin_x, tmax_x, cfg)
+        velw_ox, acc_ox = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
 
         # Pallas setup kernel + solve (the fused chain)
         color, _, relax, _ = color_manifolds(man, bodies, cfg)
-        slot_p, mpad = color_slots(color, man.normal.shape[0], cfg)
-        velw_p, cf_p, af_p, tmin_p, tmax_p = setup_pallas(
+        slot_p, mpad = color_slots(color, man, bodies, cfg)
+        velw_p, cf_p, af_p, win_p = setup_pallas(
             bodies, man, warm, relax, slot_p, mpad, cfg)
-        velw_op, acc_op = solve_packed(velw_p, cf_p, af_p, tmin_p, tmax_p, cfg)
+        velw_op, acc_op = solve_packed(velw_p, cf_p, af_p, win_p, cfg,
+                                       alias=False)
 
         diag = {
             "d_solved_velw": jnp.max(jnp.abs(velw_ox - velw_op)),

@@ -67,8 +67,8 @@ def main(n=2048, reps=20):
     warm = read_cached_impulses(st.cache, man)
     color, _, relax, _ = color_manifolds(man, bodies, cfg)
     m_count = man.normal.shape[0]
-    slot, mpad = color_slots(color, m_count, cfg)
-    velw, con_f, acc_f, tmin, tmax = setup_pallas(
+    slot, mpad = color_slots(color, man, bodies, cfg)
+    velw, con_f, acc_f, win = setup_pallas(
         bodies, man, warm, relax, slot, mpad, cfg)
 
     total = 0.0
@@ -92,9 +92,9 @@ def main(n=2048, reps=20):
                         setup_pallas(bd, mn, w, r, s, mpad, cfg)[:3])),
                     bodies, man, warm, relax, slot, reps=reps)
     total += timeit("solve kernel",
-                    jax.jit(lambda v, c, a, lo, hi: checksum(
-                        solve_packed(v, c, a, lo, hi, cfg))),
-                    velw, con_f, acc_f, tmin, tmax, reps=reps)
+                    jax.jit(lambda v, c, a, w: checksum(
+                        solve_packed(v, c, a, w, cfg))),
+                    velw, con_f, acc_f, win, reps=reps)
     total += timeit("cache write",
                     jax.jit(lambda mn, w: checksum(
                         write_cached_impulses(mn, w))), man, warm, reps=reps)

@@ -40,17 +40,18 @@ def pile_inputs():
 def test_setup_kernel_matches_xla_pack(pile_inputs):
     cfg, bodies, man, warm = pile_inputs
     con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-    velw_x, cf_x, af_x, tmin_x, tmax_x, slot_x = pack_solver_inputs(
-        bodies_x, con, acc, cfg)
+    velw_x, cf_x, af_x, (tmin_x, tmax_x, bits_x), slot_x = \
+        pack_solver_inputs(bodies_x, con, acc, cfg)
 
     color, _, relax, _ = color_manifolds(man, bodies, cfg)
-    slot_p, mpad = color_slots(color, man.normal.shape[0], cfg)
-    velw_p, cf_p, af_p, tmin_p, tmax_p = setup_pallas(
+    slot_p, mpad = color_slots(color, man, bodies, cfg)
+    velw_p, cf_p, af_p, (tmin_p, tmax_p, bits_p) = setup_pallas(
         bodies, man, warm, relax, slot_p, mpad, cfg, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(slot_x), np.asarray(slot_p))
     np.testing.assert_array_equal(np.asarray(tmin_x), np.asarray(tmin_p))
     np.testing.assert_array_equal(np.asarray(tmax_x), np.asarray(tmax_p))
+    np.testing.assert_array_equal(np.asarray(bits_x), np.asarray(bits_p))
     live = np.asarray(cf_x)[125] > 0.5
     assert live.any()
     np.testing.assert_allclose(
