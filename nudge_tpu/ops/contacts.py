@@ -69,14 +69,31 @@ def _pad_points(man_1pt):
     return pos, depth, feat, pv
 
 
+def _use_np_kernel(cfg: SimConfig, n_boxes: int, n_pairs: int) -> bool:
+    """Static (trace-time) choice of the Pallas box-box kernel."""
+    from .narrowphase_kernel import np_kernel_fits
+
+    if cfg.solver in ("pallas", "pallas_interpret"):
+        return np_kernel_fits(n_boxes)
+    return (cfg.solver == "auto" and jax.default_backend() == "tpu"
+            and n_pairs >= 1024 and np_kernel_fits(n_boxes))
+
+
 def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
                     bs: CandidatePairs, ss: CandidatePairs, cfg: SimConfig):
-    """Vmapped narrowphase over all candidate pairs; returns per-pair manifold
-    slot arrays of static length |bb| + |bs| + |ss|."""
+    """Narrowphase over all candidate pairs (Pallas kernel or vmapped jnp for
+    box-box); returns per-pair manifold slot arrays of static length
+    |bb| + |bs| + |ss|."""
     bx, sp = state.boxes, state.spheres
     parts = []
 
-    if bb.a.shape[0] > 0:
+    if bb.a.shape[0] > 0 and _use_np_kernel(cfg, bx.half.shape[0],
+                                            bb.a.shape[0]):
+        from .narrowphase_kernel import box_box_pallas
+
+        parts.append(box_box_pallas(
+            bx, wc, bb, cfg, interpret=(cfg.solver == "pallas_interpret")))
+    elif bb.a.shape[0] > 0:
         man = jax.vmap(nps.box_box)(
             bx.half[bb.a], wc.box_quat[bb.a], wc.box_pos[bb.a],
             bx.half[bb.b], wc.box_quat[bb.b], wc.box_pos[bb.b],
