@@ -50,6 +50,12 @@ class SimConfig:
     max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
     baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
     slop: float = 0.005             # allowed penetration before bias kicks in
+    # cap on the penetration-recovery velocity: deep transient penetrations
+    # (falling-pile impacts) would otherwise inject bias velocities of
+    # β·depth/dt >> impact speed and pump energy into the pile until it
+    # explodes (observed at the 20480-box drop; the standard stabilization
+    # in production engines)
+    max_bias_vel: float = 2.0
     friction: float = 0.5           # default Coulomb friction if collider has none
     restitution: float = 0.0        # reference has none [MED]; kept as a knob
     warm_start: bool = True

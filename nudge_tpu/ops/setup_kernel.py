@@ -163,6 +163,7 @@ def _basis(n):
 
 def _make_setup_kernel(cfg: SimConfig, w_words: int):
     baumgarte_over_dt = cfg.baumgarte / cfg.dt
+    max_bias_vel = cfg.max_bias_vel
     slop = cfg.slop
     restitution = cfg.restitution
     warm_start = cfg.warm_start
@@ -250,7 +251,9 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             jt1a, jt1b, mt1 = eff(t1)
             jt2a, jt2b, mt2 = eff(t2)
 
-            bias = baumgarte_over_dt * jnp.maximum(depth - slop, 0.0)
+            bias = jnp.minimum(
+                baumgarte_over_dt * jnp.maximum(depth - slop, 0.0),
+                max_bias_vel)
             if restitution > 0.0:
                 va0, wa0 = A[11:14], A[14:17]
                 vb0, wb0 = B[11:14], B[14:17]

@@ -187,8 +187,11 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
     jt1a, jt1b, mt1 = eff(t1)
     jt2a, jt2b, mt2 = eff(t2)
 
-    # velocity-level position bias (Baumgarte) + optional restitution
-    bias = cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0)
+    # velocity-level position bias (Baumgarte, capped — see
+    # SimConfig.max_bias_vel) + optional restitution
+    bias = jnp.minimum(
+        cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0),
+        cfg.max_bias_vel)
     if cfg.restitution > 0.0:
         vrel0 = (
             (bodies.vel[bb_][:, None] + cross(bodies.angvel[bb_][:, None], rb))
