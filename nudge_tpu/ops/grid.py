@@ -74,13 +74,22 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     in_grid = valid & ~big
 
-    # Re-base cell coords to the scene's bounding box and clamp into a dense
-    # static-extent table (cfg.grid_table_dims). Out-of-extent colliders merge
-    # into border cells — extra candidates, filtered by the AABB test (same
-    # degradation as key clamping, never missed pairs).
+    # Re-base cell coords to the scene and clamp into a dense static-extent
+    # table (cfg.grid_table_dims). Out-of-extent colliders merge into border
+    # cells — extra candidates, filtered by the AABB test (same degradation
+    # as key clamping, never missed pairs). The base is anchored at the MEAN
+    # coordinate, not the min: a single runaway body (ejected off the ground
+    # during an impact) would otherwise drag the min down with it and shove
+    # the whole scene past the table extent, clamping thousands of bodies
+    # into border cells at once — observed as a sudden broadphase collapse
+    # of an otherwise settled 20480-box pile. With the mean anchor the
+    # stray clamps only itself.
     ex, ey, ez = cfg.grid_table_dims
     coords_abs = jnp.floor(center / cell).astype(jnp.int32)
-    cmin = jnp.min(jnp.where(in_grid[:, None], coords_abs, 2 ** 20), axis=0)
+    n_in = jnp.maximum(jnp.sum(in_grid.astype(jnp.int32)), 1)
+    cmean = (jnp.sum(jnp.where(in_grid[:, None], coords_abs, 0), axis=0)
+             // n_in)
+    cmin = cmean - jnp.array([ex // 2, ey // 2, ez // 2])
     coords = jnp.clip(coords_abs - cmin, 0,
                       jnp.array([ex - 1, ey - 1, ez - 1]))
     lin = (coords[:, 0] * ey + coords[:, 1]) * ez + coords[:, 2]
