@@ -32,7 +32,9 @@ Row layout of `con` (P = CONTACT_POINTS = 4):
 Rows 123/124/125 carry idx_a / idx_b / live as f32 (indices < 2^24 are
 f32-exact), so the whole streamed payload is one tensor. acc f32[16, Mpad]
 (rows [0:4) lam_n, [4:8) lam_t1, [8:12) lam_t2) and velw stay fully
-VMEM-resident and aliased in/out — only `con` streams per tile.
+VMEM-resident — only `con` streams per tile. Outputs are explicitly seeded
+from the input refs on the first grid step (never read through alias
+seeding — see _solve_kernel._init and solve_packed's alias docstring).
 """
 
 from __future__ import annotations
