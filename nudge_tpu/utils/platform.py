@@ -23,12 +23,17 @@ def enable_compilation_cache(path: str = _DEFAULT_CACHE) -> None:
 
 def force_cpu(n_virtual_devices: int = 0) -> None:
     """Use the host CPU backend (works even though sitecustomize pre-imports
-    jax with JAX_PLATFORMS=axon). Must run before first backend use."""
+    jax with JAX_PLATFORMS=axon). Must run before first backend use.
+
+    If an ``xla_force_host_platform_device_count`` flag is already present
+    with a *smaller* count than requested, it is replaced — a stale count
+    would otherwise produce a silently undersized mesh downstream."""
     if n_virtual_devices:
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count={n_virtual_devices}"
-            ).strip()
+        marker = "--xla_force_host_platform_device_count="
+        parts = [f for f in flags.split() if not f.startswith(marker)]
+        kept = [f[len(marker):] for f in flags.split() if f.startswith(marker)]
+        count = max([n_virtual_devices] + [int(k) for k in kept if k.isdigit()])
+        parts.append(f"{marker}{count}")
+        os.environ["XLA_FLAGS"] = " ".join(parts)
     jax.config.update("jax_platforms", "cpu")
