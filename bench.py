@@ -33,9 +33,10 @@ _NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 def tuned_config(builder, n_bodies: int):
     """Capacity-tuned config: manifolds ~1.6x expected touching pairs
-    (~3.3/body in settled piles), pairs ~1.5x the settled count. Density 16
-    covers the impact-phase occupancy spike (settled cells hold <= 8, but
-    the falling pile transiently exceeds 12 and dropped pairs turn into deep
+    (~3.3/body in settled piles); pairs at 5x bodies — well above the
+    settled count for impact-phase spike headroom. Density 16 covers the
+    impact-phase occupancy spike (settled cells hold <= 8, but the falling
+    pile transiently exceeds 12 and dropped pairs turn into deep
     penetrations)."""
     mcap = max(512, int(n_bodies * 2.0))
     pcap = max(1024, int(n_bodies * 5.0))

@@ -86,9 +86,15 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     # stray clamps only itself.
     ex, ey, ez = cfg.grid_table_dims
     coords_abs = jnp.floor(center / cell).astype(jnp.int32)
-    n_in = jnp.maximum(jnp.sum(in_grid.astype(jnp.int32)), 1)
-    cmean = (jnp.sum(jnp.where(in_grid[:, None], coords_abs, 0), axis=0)
-             // n_in)
+    # anchor computed in f32: an int32 coord sum overflows for large N far
+    # from the origin (20k colliders at |coord|~1e5 cells), corrupting the
+    # anchor and clamping the whole scene into border cells
+    n_in = jnp.maximum(jnp.sum(in_grid.astype(jnp.float32)), 1.0)
+    cmean = jnp.floor(
+        jnp.sum(jnp.where(in_grid[:, None],
+                          coords_abs.astype(jnp.float32), 0.0), axis=0)
+        / n_in
+    ).astype(jnp.int32)
     cmin = cmean - jnp.array([ex // 2, ey // 2, ez // 2])
     coords = jnp.clip(coords_abs - cmin, 0,
                       jnp.array([ex - 1, ey - 1, ez - 1]))

@@ -406,7 +406,9 @@ def _box_box_rows(ha, qa, pa, hb, qb, pb):
     return normal, pos, depth, feat, valid
 
 
-def _make_np_kernel(w_words: int, default_friction: float):
+def _make_np_kernel(w_words: int):
+    # friction is always sqrt(fa*fb) from the per-collider table the builder
+    # pre-fills (matching the jnp path); no cfg-default fallback exists here
     def kernel(tmin_ref, tmax_ref, bits_ref, tbl_ref, pair_ref, out_ref,
                gA, gB):
         t = pl.program_id(0)
@@ -508,7 +510,7 @@ def box_box_pallas(bx, wc, bb, cfg: SimConfig, interpret: bool = False):
     ones = jnp.ones((ppad,), bool)
     tmin, tmax, bits = dynamic_windows(
         jnp.arange(ppad, dtype=jnp.int32), live_p, a_p, b_p, ones, ones,
-        ppad, nbpad // LANES)
+        ppad, nbpad // LANES, group=LANES)
 
     n_tiles = ppad // LANES
     w_words = window_words(nbpad // LANES)
@@ -531,7 +533,7 @@ def box_box_pallas(bx, wc, bb, cfg: SimConfig, interpret: bool = False):
         ],
     )
     (out,) = pl.pallas_call(
-        _make_np_kernel(w_words, cfg.friction),
+        _make_np_kernel(w_words),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((OUT_ROWS, ppad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

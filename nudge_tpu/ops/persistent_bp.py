@@ -139,7 +139,10 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
     def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b):
         keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn)
         keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
-        live_cap = max(a.shape[0] // 2, 1)
+        # 3/4 of the fat capacity: the tight set of a settled pile is most
+        # of the fat set (margin 0.1 vs 0.02 only adds ~20-30%); half was
+        # observed to overflow at 20480 (dropped pairs -> explosion)
+        live_cap = max(a.shape[0] * 3 // 4, 1)
         sel, vv, cnt = compact_mask(keep, live_cap)
         return CandidatePairs(
             a=jnp.where(vv, a[sel], 0), b=jnp.where(vv, b[sel], 0),

@@ -4,18 +4,21 @@ The XLA `setup_constraints` is ~100 small ops over [M,P] arrays (body gathers,
 quaternion rotations, effective masses, warm-start projection + scatter) and
 dominates the non-kernel step cost once the solve runs in Pallas. This kernel
 computes the ENTIRE packed constraint tensor consumed by the solve kernel
-(solver_kernel.py row layout) directly on-chip:
+(solver_kernel.py row/group layout) directly on-chip:
 
   - XLA packs only a thin per-manifold *geometry* payload (normal, friction,
-    contact points, depths, warm impulses, body ids) into color-sorted tiles
+    contact points, depths, warm impulses, body ids) into color-sorted groups
     — one gather instead of ~25 scatters of derived rows;
-  - per tile, body state (pos/quat/inv-inertia/inv-mass) is gathered with the
-    same windowed one-hot MXU matmuls as the solver; contact frames, angular
-    response vectors I⁻¹(r×d), effective masses and Baumgarte bias are pure
-    [3,128]-row math (reference: setup_contact_constraints, SURVEY §3.C);
+  - manifolds are processed in GROUPS of SUB=8 128-lane tiles ([k,8,128]
+    row math at full vreg occupancy — see solver_kernel.py);
+  - per group, body state (pos/quat/inv-inertia/inv-mass) is gathered with
+    the same windowed one-hot MXU matmuls as the solver; contact frames,
+    angular response vectors I⁻¹(r×d), effective masses and Baumgarte bias
+    are pure row math (reference: setup_contact_constraints, SURVEY §3.C);
   - warm-start impulses are projected onto the new frames, clamped, written
     to the accumulator tensor, and their velocity change is scattered into
-    the resident body-momentum table (reference applies warm starts in setup).
+    the resident body-momentum table (reference applies warm starts in
+    setup).
 
 Output feeds solver_kernel._solve_kernel unchanged — together they leave only
 broadphase/narrowphase/cache-join outside the kernel layer.
@@ -31,9 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CONTACT_POINTS, SimConfig
 from ..state import Bodies
 from .solver_kernel import (
-    CON_ROWS, LANES, WORD_BITS, _IDX_SENT, _PT, _PT0, _rup, _rup_j,
-    color_sorted_slots, dynamic_windows, padded_tiles, spatial_subkey,
-    window_words,
+    ACC_ROWS, CON_ROWS, GROUP, LANES, SUB, WORD_BITS, _IDX_SENT, _PT, _PT0,
+    _rup, acc_from_kernel_layout, color_sorted_slots, dynamic_windows,
+    padded_groups, spatial_subkey, window_words,
 )
 
 GEOM_ROWS = 40
@@ -52,8 +55,8 @@ def body_rows(cfg: SimConfig) -> int:
 
 
 def color_slots(color, man, bodies: Bodies, cfg: SimConfig):
-    """Tile-padded color-sorted slot for every manifold (each 128-wide tile
-    single-color, spatially ordered within a color — see
+    """Group-padded color-sorted slot for every manifold (each 1024-wide
+    group single-color, spatially ordered within a color — see
     solver_kernel.spatial_subkey). Returns (slot i32[M], mpad)."""
     dyn = bodies.inv_mass > 0.0
     sub = spatial_subkey(man.body_a, man.body_b,
@@ -63,7 +66,7 @@ def color_slots(color, man, bodies: Bodies, cfg: SimConfig):
 
 def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
                   cfg: SimConfig):
-    """Build (velw, body_tbl, geom, tmin, tmax) for the setup kernel.
+    """Build (velw, body_tbl, geom, (tmin, tmax, bits)) for the setup kernel.
 
     One [GEOM_ROWS, M+1] row stack + one gather by inverse slot replaces
     per-row scatters; column M is the dead column every unused slot maps to.
@@ -71,7 +74,6 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
     n = bodies.pos.shape[0]
     m = man.normal.shape[0]
     npad = _rup(max(n, LANES), LANES)
-    n_tiles = mpad // LANES
 
     velw = jnp.zeros((8, npad), jnp.float32)
     velw = velw.at[0:3, :n].set(bodies.vel.T)
@@ -111,7 +113,7 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
         jnp.arange(m, dtype=jnp.int32))
     geom = rows[:, invslot]                                 # [40, mpad]
 
-    # per-manifold-tile body-tile windows over dynamic sides only (see
+    # per-group body-tile windows over dynamic sides only (see
     # solver_kernel.spatial_subkey for why static sides are excluded)
     dyn = bodies.inv_mass > 0.0
     win = dynamic_windows(
@@ -137,7 +139,7 @@ def _dot3(a, b):
 
 
 def _qrot(q, v):
-    """Rotate [3,128] rows v by quaternion rows q[4,128] (body -> world)."""
+    """Rotate [3,S,128] rows v by quaternion rows q[4,S,128] (body->world)."""
     u, w = q[0:3], q[3:4]
     uv = _cross3(u, v)
     return v + 2.0 * (w * uv + _cross3(u, uv))
@@ -150,7 +152,7 @@ def _qrot_inv(q, v):
 
 
 def _basis(n):
-    """Duff et al. tangent frame for unit normal rows n[3,128] (mirrors
+    """Duff et al. tangent frame for unit normal rows n[3,S,128] (mirrors
     mathx.orthonormal_basis)."""
     nx, ny, nz = n[0:1], n[1:2], n[2:3]
     sign = jnp.where(nz >= 0.0, 1.0, -1.0)
@@ -184,9 +186,9 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
                                         ).astype(jnp.float32)
         hp = jax.lax.Precision.HIGHEST
 
-        idxa = geom_ref[5:6, :]
-        idxb = geom_ref[6:7, :]
-        live = geom_ref[7:8, :]
+        idxa = geom_ref[5:6, :, :]                          # [1,S,128]
+        idxb = geom_ref[6:7, :, :]
+        live = geom_ref[7:8, :, :]
         bt0 = tmin_ref[t]
         bt1 = tmax_ref[t]
 
@@ -195,45 +197,54 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             return ((word >> (bti % WORD_BITS)) & 1) > 0
 
         # ---- gather body rows (windowed one-hot matmuls, bits skip) ----
-        gA[:, :] = jnp.zeros((n_body_rows, LANES), jnp.float32)
-        gB[:, :] = jnp.zeros((n_body_rows, LANES), jnp.float32)
+        gA[:, :, :] = jnp.zeros((n_body_rows, SUB, LANES), jnp.float32)
+        gB[:, :, :] = jnp.zeros((n_body_rows, SUB, LANES), jnp.float32)
 
         def gather_bt(bti, _):
             @pl.when(member(bti))
             def _():
                 cols = pl.ds(bti * LANES, LANES)
                 tbl = bt_ref[:, cols]
-                oha = (brow + bti * LANES == idxa).astype(jnp.float32)
-                ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
-                gA[:, :] = gA[:, :] + jnp.dot(
-                    tbl, oha, preferred_element_type=jnp.float32, precision=hp)
-                gB[:, :] = gB[:, :] + jnp.dot(
-                    tbl, ohb, preferred_element_type=jnp.float32, precision=hp)
+                for s in range(SUB):
+                    ia_s = geom_ref[5:6, s, :]              # [1,128]
+                    ib_s = geom_ref[6:7, s, :]
+                    oha = (brow + bti * LANES == ia_s).astype(jnp.float32)
+                    ohb = (brow + bti * LANES == ib_s).astype(jnp.float32)
+                    gA[:, s, :] = gA[:, s, :] + jnp.dot(
+                        tbl, oha, preferred_element_type=jnp.float32,
+                        precision=hp)
+                    gB[:, s, :] = gB[:, s, :] + jnp.dot(
+                        tbl, ohb, preferred_element_type=jnp.float32,
+                        precision=hp)
             return 0
 
         jax.lax.fori_loop(bt0, bt1, gather_bt, 0)
-        A = gA[:, :]
-        B = gB[:, :]
+        A = gA[:, :, :]
+        B = gB[:, :, :]
 
         pa, qa, iia, ima = A[0:3], A[3:7], A[7:10], A[10:11]
         pb, qb, iib, imb = B[0:3], B[3:7], B[7:10], B[10:11]
 
-        n = geom_ref[0:3, :]
-        mu = geom_ref[3:4, :]
-        relax = geom_ref[4:5, :] * live
+        n = geom_ref[0:3, :, :]
+        mu = geom_ref[3:4, :, :]
+        relax = geom_ref[4:5, :, :] * live
         t1, t2 = _basis(n)
 
-        con_rows = [n, t1, t2, mu, relax]
-        acc_rows_n, acc_rows_t1, acc_rows_t2 = [], [], []
-        Pimp = jnp.zeros((3, LANES), jnp.float32)
-        dwa = jnp.zeros((3, LANES), jnp.float32)
-        dwb = jnp.zeros((3, LANES), jnp.float32)
+        con_out[0:3, :, :] = n
+        con_out[3:6, :, :] = t1
+        con_out[6:9, :, :] = t2
+        con_out[9:10, :, :] = mu
+        con_out[10:11, :, :] = relax
+
+        Pimp = jnp.zeros((3, SUB, LANES), jnp.float32)
+        dwa = jnp.zeros((3, SUB, LANES), jnp.float32)
+        dwb = jnp.zeros((3, SUB, LANES), jnp.float32)
 
         for p in range(CONTACT_POINTS):
-            pos = geom_ref[8 + 3 * p:11 + 3 * p, :]
-            depth = geom_ref[20 + p:21 + p, :]
-            warm = geom_ref[24 + 3 * p:27 + 3 * p, :]
-            pv = geom_ref[36 + p:37 + p, :]
+            pos = geom_ref[8 + 3 * p:11 + 3 * p, :, :]
+            depth = geom_ref[20 + p:21 + p, :, :]
+            warm = geom_ref[24 + 3 * p:27 + 3 * p, :, :]
+            pv = geom_ref[36 + p:37 + p, :, :]
 
             ra = pos - pa
             rb = pos - pb
@@ -269,7 +280,7 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
                 at1 = jnp.clip(_dot3(warm, t1), -bound, bound) * pv
                 at2 = jnp.clip(_dot3(warm, t2), -bound, bound) * pv
             else:
-                an = jnp.zeros((1, LANES), jnp.float32)
+                an = jnp.zeros((1, SUB, LANES), jnp.float32)
                 at1 = an
                 at2 = an
 
@@ -277,39 +288,55 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             dwa = dwa + an * jna + at1 * jt1a + at2 * jt2a
             dwb = dwb + an * jnb + at1 * jt1b + at2 * jt2b
 
-            con_rows += [ra, rb, jna, jnb, jt1a, jt1b, jt2a, jt2b,
-                         mn * pv, mt1 * pv, mt2 * pv, bias * pv]
-            acc_rows_n.append(an)
-            acc_rows_t1.append(at1)
-            acc_rows_t2.append(at2)
+            b0 = _PT0 + _PT * p
+            con_out[b0:b0 + 3, :, :] = ra
+            con_out[b0 + 3:b0 + 6, :, :] = rb
+            con_out[b0 + 6:b0 + 9, :, :] = jna
+            con_out[b0 + 9:b0 + 12, :, :] = jnb
+            con_out[b0 + 12:b0 + 15, :, :] = jt1a
+            con_out[b0 + 15:b0 + 18, :, :] = jt1b
+            con_out[b0 + 18:b0 + 21, :, :] = jt2a
+            con_out[b0 + 21:b0 + 24, :, :] = jt2b
+            con_out[b0 + 24:b0 + 25, :, :] = mn * pv
+            con_out[b0 + 25:b0 + 26, :, :] = mt1 * pv
+            con_out[b0 + 26:b0 + 27, :, :] = mt2 * pv
+            con_out[b0 + 27:b0 + 28, :, :] = bias * pv
 
-        con_rows += [idxa, idxb, live,
-                     jnp.zeros((CON_ROWS - 126, LANES), jnp.float32)]
-        con_out[:, :] = jnp.concatenate(con_rows, axis=0)
-        acc_out[:, :] = jnp.concatenate(
-            acc_rows_n + acc_rows_t1 + acc_rows_t2
-            + [jnp.zeros((4, LANES), jnp.float32)], axis=0)
+            # acc block rows: q*SUB + s layout (see solver_kernel acc docs)
+            acc_out[p * SUB:(p + 1) * SUB, :] = an.reshape(SUB, LANES)
+            acc_out[(4 + p) * SUB:(5 + p) * SUB, :] = at1.reshape(SUB, LANES)
+            acc_out[(8 + p) * SUB:(9 + p) * SUB, :] = at2.reshape(SUB, LANES)
+
+        con_out[123:124, :, :] = idxa
+        con_out[124:125, :, :] = idxb
+        con_out[125:126, :, :] = live
+        con_out[126:CON_ROWS, :, :] = jnp.zeros(
+            (CON_ROWS - 126, SUB, LANES), jnp.float32)
 
         # ---- apply warm-start impulses to body momentum ----
         dA = jnp.concatenate(
-            [-Pimp * ima, -dwa, jnp.zeros((2, LANES))], 0) * live
+            [-Pimp * ima, -dwa, jnp.zeros((2, SUB, LANES))], 0) * live
         dB = jnp.concatenate(
-            [Pimp * imb, dwb, jnp.zeros((2, LANES))], 0) * live
+            [Pimp * imb, dwb, jnp.zeros((2, SUB, LANES))], 0) * live
 
         def scatter_bt(bti, _):
             @pl.when(member(bti))
             def _():
                 cols = pl.ds(bti * LANES, LANES)
-                oha = (brow + bti * LANES == idxa).astype(jnp.float32)
-                ohb = (brow + bti * LANES == idxb).astype(jnp.float32)
-                upd = (
-                    jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=hp)
-                    + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32,
-                                          precision=hp)
-                )
+                upd = jnp.zeros((8, LANES), jnp.float32)
+                for s in range(SUB):
+                    ia_s = geom_ref[5:6, s, :]
+                    ib_s = geom_ref[6:7, s, :]
+                    oha = (brow + bti * LANES == ia_s).astype(jnp.float32)
+                    ohb = (brow + bti * LANES == ib_s).astype(jnp.float32)
+                    upd = upd + (
+                        jax.lax.dot_general(
+                            dA[:, s, :], oha, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=hp)
+                        + jax.lax.dot_general(
+                            dB[:, s, :], ohb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=hp)
+                    )
                 velw_out[:, cols] = velw_out[:, cols] + upd
             return 0
 
@@ -320,21 +347,23 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
 
 def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
                  cfg: SimConfig, interpret: bool = False):
-    """Run the setup kernel. Returns (velw, con_f, acc_f, win) ready for
-    solver_kernel's solve pass; velw already has warm starts applied."""
+    """Run the setup kernel. Returns (velw, con_f[CON_ROWS, mpad],
+    acc_f[ACC_ROWS, mpad], win) ready for solver_kernel's solve pass; velw
+    already has warm starts applied."""
     velw, bt, geom, win = pack_geometry(
         bodies, man, warm, relax, slot, mpad, cfg)
     npad = velw.shape[1]
-    n_tiles = mpad // LANES
+    n_groups = mpad // GROUP
+    geom3 = geom.reshape(GEOM_ROWS, n_groups * SUB, LANES)
 
     w_words = window_words(npad // LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((body_rows(cfg), npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # body table
-            pl.BlockSpec((GEOM_ROWS, LANES), lambda t, *_: (0, t),
+            pl.BlockSpec((GEOM_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
                          memory_space=pltpu.VMEM),          # geometry stream
             pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # velw (resident)
@@ -342,31 +371,35 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
         out_specs=[
             pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # velw out
-            pl.BlockSpec((CON_ROWS, LANES), lambda t, *_: (0, t),
-                         memory_space=pltpu.VMEM),          # con tile
-            pl.BlockSpec((16, LANES), lambda t, *_: (0, t),
-                         memory_space=pltpu.VMEM),          # acc tile
+            pl.BlockSpec((CON_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
+                         memory_space=pltpu.VMEM),          # con group
+            pl.BlockSpec((ACC_ROWS * SUB, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),          # acc group
         ],
         scratch_shapes=[
-            pltpu.VMEM((body_rows(cfg), LANES), jnp.float32),   # gather A
-            pltpu.VMEM((body_rows(cfg), LANES), jnp.float32),   # gather B
+            pltpu.VMEM((body_rows(cfg), SUB, LANES), jnp.float32),  # gather A
+            pltpu.VMEM((body_rows(cfg), SUB, LANES), jnp.float32),  # gather B
         ],
     )
     tmin, tmax, bits = win
-    velw_out, con_f, acc_f = pl.pallas_call(
+    velw_out, con_f3, acc_k = pl.pallas_call(
         _make_setup_kernel(cfg, w_words),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
-            jax.ShapeDtypeStruct((CON_ROWS, mpad), jnp.float32),
-            jax.ShapeDtypeStruct((16, mpad), jnp.float32),
+            jax.ShapeDtypeStruct((CON_ROWS, n_groups * SUB, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((ACC_ROWS * SUB, n_groups * LANES),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tmin, tmax, bits, bt, geom, velw)
+    )(tmin, tmax, bits, bt, geom3, velw)
+    con_f = con_f3.reshape(CON_ROWS, mpad)
+    acc_f = acc_from_kernel_layout(acc_k, cfg)
     return velw_out, con_f, acc_f, win
 
 

@@ -8,17 +8,25 @@ runs the ENTIRE iterated solve in one `pallas_call`:
   - body momentum lives in VMEM as a component-major table `velw[8, Npad]`
     (rows vx,vy,vz,wx,wy,wz,inv_mass,pad) for the whole solve — zero HBM
     traffic for velocities in the hot loop;
-  - constraints are packed into one f32 tensor `con[128, Mpad]` (column =
-    manifold, row layout below), color-sorted AND padded so every
-    128-manifold tile belongs to a single color; the pallas grid
-    (iters, tiles) streams con/aux/acc tiles through VMEM with automatic
-    double buffering, so M is bounded by HBM, not VMEM;
+  - manifolds are processed in GROUPS of SUB=8 128-lane tiles: every row of
+    per-manifold math is shaped [k, 8, 128], so the VPU runs at full (8,128)
+    vreg occupancy instead of the 1/8 sub-lane utilization of [1,128] rows
+    (round-1 bottleneck, docs/PERF_NOTES.md item 1);
+  - constraints are packed into one f32 tensor `con[128, G*8, 128]` (lane =
+    manifold, middle dim = sub-tile, row layout below), color-sorted AND
+    padded so every 1024-manifold group belongs to a single color; the
+    pallas grid (iters, groups) streams con blocks through VMEM with
+    automatic double buffering, so M is bounded by HBM, not VMEM;
   - gather/scatter of body columns uses one-hot MXU matmuls per 128-lane
-    body tile at HIGHEST precision (one-hot f32 contraction is exact, so
-    results match the XLA path bitwise). Each manifold tile only sweeps the
-    body tiles in its [tmin, tmax) window — precomputed from its body-index
-    span, tight when body numbering is spatially coherent (scene builders
-    emit grid order);
+    body tile (one [8,128]x[128,128] dot per sub-tile) at HIGHEST precision
+    (one-hot f32 contraction is exact, so results match the XLA path
+    bitwise). Each group only sweeps the body tiles in its [tmin, tmax)
+    window — precomputed from its body-index span, tight when body numbering
+    is spatially coherent (scene builders emit grid order) — and a per-group
+    membership bitmask skips untouched tiles inside the window;
+  - groups whose window is empty (color padding, invalid/parked manifolds)
+    skip ALL compute, so solve cost scales with live manifolds, not the
+    static capacity — load-bearing for sleeping scenes;
   - the <=4 points of a manifold are solved sequentially in registers
     (block Gauss-Seidel, same math as solver.py);
   - grid dimensions are marked "arbitrary" so steps execute in order:
@@ -30,11 +38,17 @@ Row layout of `con` (P = CONTACT_POINTS = 4):
   11 + 28*p + [0:3 ra | 3:6 rb | 6:9 jna | 9:12 jnb | 12:15 jt1a | 15:18 jt1b
                | 18:21 jt2a | 21:24 jt2b | 24 mn | 25 mt1 | 26 mt2 | 27 bias]
 Rows 123/124/125 carry idx_a / idx_b / live as f32 (indices < 2^24 are
-f32-exact), so the whole streamed payload is one tensor. acc f32[16, Mpad]
-(rows [0:4) lam_n, [4:8) lam_t1, [8:12) lam_t2) and velw stay fully
-VMEM-resident — only `con` streams per tile. Outputs are explicitly seeded
-from the input refs on the first grid step (never read through alias
-seeding — see _solve_kernel._init and solve_packed's alias docstring).
+f32-exact), so the whole streamed payload is one tensor.
+
+Accumulators `acc` are VMEM-resident as f32[96, G*128]: row q*8+s holds
+quantity q (q = p for lam_n, 4+p for lam_t1, 8+p for lam_t2) of sub-tile s;
+column g*128+l is lane l of group g. This (q,s)-row / group-major-lane
+layout lets the kernel slice a group's accumulators with a dynamic *lane*
+offset only (dynamic sublane offsets do not lower in Mosaic). velw and acc
+stay fully VMEM-resident — only `con` streams per group. Outputs are
+explicitly seeded from the input refs on the first grid step (never read
+through alias seeding — see _solve_kernel._init and solve_packed's alias
+docstring).
 """
 
 from __future__ import annotations
@@ -50,7 +64,10 @@ from ..config import CONTACT_POINTS, SimConfig
 from ..state import Bodies
 
 LANES = 128
+SUB = 8                 # manifold tiles per group ([8,128] vreg packing)
+GROUP = SUB * LANES     # manifolds per grid step
 CON_ROWS = 128          # 11 + 28*4 = 123, padded
+ACC_ROWS = 12           # 4 lam_n + 4 lam_t1 + 4 lam_t2
 _PT = 28                # rows per point
 _PT0 = 11               # first point row
 _IDX_SENT = 1 << 28     # "dead lane" body index sentinel
@@ -60,15 +77,16 @@ def _rup(x, m):
     return -(-x // m) * m
 
 
-def _rup_j(x):
-    return -(-x // LANES) * LANES
+def padded_groups(cfg: SimConfig) -> int:
+    """Static padded group count: every color segment padded to a GROUP
+    multiple, plus one trailing segment for invalid manifolds."""
+    base = _rup(max(cfg.max_manifolds, GROUP), GROUP) // GROUP
+    return base + cfg.max_colors + 1
 
 
 def padded_tiles(cfg: SimConfig) -> int:
-    """Static padded tile count: every color segment padded to a 128
-    multiple, plus one trailing segment for invalid manifolds."""
-    base = _rup(max(cfg.max_manifolds, LANES), LANES) // LANES
-    return base + cfg.max_colors + 1
+    """Padded 128-manifold tile count (= padded_groups * SUB)."""
+    return padded_groups(cfg) * SUB
 
 
 # ---------------------------------------------------------------------------
@@ -80,19 +98,18 @@ def spatial_subkey(body_a, body_b, dyn_a, dyn_b):
     manifold. Static sides are excluded both here and from the gather
     windows — a static body's velocity/inv-mass gather is exactly zero and
     every term involving it carries its zero inverse inertia, so the kernels
-    never need its tile. Sorting by the dynamic body id keeps each
-    128-manifold tile's window over a narrow band of body tiles (ground
-    contacts would otherwise pin every window to body tile 0)."""
+    never need its tile. Sorting by the dynamic body id keeps each group's
+    window over a narrow band of body tiles (ground contacts would otherwise
+    pin every window to body tile 0)."""
     big = jnp.int32((1 << 24) - 1)
     return jnp.minimum(jnp.minimum(
         jnp.where(dyn_a, body_a, big), jnp.where(dyn_b, body_b, big)), big)
 
 
 def color_sorted_slots(color, sub_key, m: int, cfg: SimConfig):
-    """Tile-padded color-sorted slot of every manifold (tiles single-color,
+    """Group-padded color-sorted slot of every manifold (groups single-color,
     ordered by `sub_key` within a color). Returns (slot i32[M], mpad)."""
-    n_tiles = padded_tiles(cfg)
-    mpad = n_tiles * LANES
+    mpad = padded_groups(cfg) * GROUP
     color = jnp.minimum(color, cfg.max_colors)  # invalid -> last segment
     key = color * jnp.int32(1 << 24) + sub_key
     order = jnp.argsort(key, stable=True)
@@ -103,7 +120,7 @@ def color_sorted_slots(color, sub_key, m: int, cfg: SimConfig):
     sizes = ends - starts
     pstart = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(_rup_j(sizes))[:-1].astype(jnp.int32),
+        jnp.cumsum(_rup(sizes, GROUP))[:-1].astype(jnp.int32),
     ])
     rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
     slot_sorted = pstart[sc] + rank
@@ -119,18 +136,19 @@ def window_words(n_body_tiles: int) -> int:
 
 
 def dynamic_windows(slot, valid, body_a, body_b, dyn_a, dyn_b, mpad,
-                    n_body_tiles):
-    """Per-manifold-tile gather windows over DYNAMIC sides only (see
+                    n_body_tiles, group: int = GROUP):
+    """Per-GROUP gather windows over DYNAMIC sides only (see
     spatial_subkey). Returns (tmin, tmax, bits):
 
-      tmin/tmax i32[n_tiles] — contiguous [tmin, tmax) body-tile bounds;
-      bits i32[n_tiles * W]  — per-tile membership bitmask (WORD_BITS body
+      tmin/tmax i32[n_groups] — contiguous [tmin, tmax) body-tile bounds;
+      bits i32[n_groups * W]  — per-group membership bitmask (WORD_BITS body
         tiles per word), letting the kernel loop skip body tiles none of the
-        tile's manifolds touch. Skewed color sizes make the contiguous range
-        ~3.6x wider than the member set on settled piles (mean 60 vs 17 body
-        tiles at 20480), so the skip is the difference between sweeping the
-        pile and sweeping the neighborhood."""
-    n_tiles = mpad // LANES
+        group's manifolds touch. Skewed color sizes make the contiguous range
+        much wider than the member set on settled piles, so the skip is the
+        difference between sweeping the pile and sweeping the neighborhood.
+        Empty groups get tmin == tmax, which the kernels use to skip the
+        whole group."""
+    n_groups = mpad // group
     wlo = jnp.minimum(jnp.where(valid & dyn_a, body_a, 2 ** 30),
                       jnp.where(valid & dyn_b, body_b, 2 ** 30)) // LANES
     whi = jnp.maximum(jnp.where(valid & dyn_a, body_a, -1),
@@ -139,33 +157,49 @@ def dynamic_windows(slot, valid, body_a, body_b, dyn_a, dyn_b, mpad,
         wlo.astype(jnp.int32))
     whi_pad = jnp.full((mpad,), -1, jnp.int32).at[slot].set(
         whi.astype(jnp.int32))
-    tmin = jnp.minimum(wlo_pad.reshape(n_tiles, LANES).min(axis=1),
+    tmin = jnp.minimum(wlo_pad.reshape(n_groups, group).min(axis=1),
                        n_body_tiles).astype(jnp.int32)
-    tmax = jnp.clip(whi_pad.reshape(n_tiles, LANES).max(axis=1) + 1,
+    tmax = jnp.clip(whi_pad.reshape(n_groups, group).max(axis=1) + 1,
                     0, n_body_tiles).astype(jnp.int32)
 
     w = window_words(n_body_tiles)
-    tile_of = slot // LANES
-    dense = jnp.zeros((n_tiles, w * WORD_BITS), jnp.int32)
+    grp_of = slot // group
+    dense = jnp.zeros((n_groups, w * WORD_BITS), jnp.int32)
     bta = jnp.clip(body_a // LANES, 0, n_body_tiles - 1)
     btb = jnp.clip(body_b // LANES, 0, n_body_tiles - 1)
-    dense = dense.at[tile_of, bta].max((valid & dyn_a).astype(jnp.int32))
-    dense = dense.at[tile_of, btb].max((valid & dyn_b).astype(jnp.int32))
+    dense = dense.at[grp_of, bta].max((valid & dyn_a).astype(jnp.int32))
+    dense = dense.at[grp_of, btb].max((valid & dyn_b).astype(jnp.int32))
     weights = (jnp.int32(1) << jnp.arange(WORD_BITS, dtype=jnp.int32))
-    bits = jnp.sum(dense.reshape(n_tiles, w, WORD_BITS) * weights, axis=-1)
+    bits = jnp.sum(dense.reshape(n_groups, w, WORD_BITS) * weights, axis=-1)
     return tmin, jnp.maximum(tmax, tmin), bits.reshape(-1).astype(jnp.int32)
 
 
-def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
-    """Color-sort manifolds and scatter them into a tile-padded layout where
-    each 128-wide tile holds manifolds of a single color.
+def acc_to_kernel_layout(af12, cfg: SimConfig):
+    """[ACC_ROWS, mpad] (lane = slot) -> [ACC_ROWS*SUB, n_groups*LANES]
+    (row = q*SUB + s, lane = g*LANES + l for slot = (g*SUB+s)*LANES+l)."""
+    n_groups = padded_groups(cfg)
+    return (af12.reshape(ACC_ROWS, n_groups, SUB, LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(ACC_ROWS * SUB, n_groups * LANES))
 
-    Returns (velw, conf, accf, tmin, tmax, slot)."""
+
+def acc_from_kernel_layout(acc_k, cfg: SimConfig):
+    """Inverse of acc_to_kernel_layout: -> [ACC_ROWS, mpad]."""
+    n_groups = padded_groups(cfg)
+    return (acc_k.reshape(ACC_ROWS, SUB, n_groups, LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(ACC_ROWS, n_groups * GROUP))
+
+
+def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
+    """Color-sort manifolds and scatter them into a group-padded layout where
+    each 1024-wide group holds manifolds of a single color.
+
+    Returns (velw, conf, accf, (tmin, tmax, bits), slot)."""
     n = bodies.pos.shape[0]
     m = con.color.shape[0]
     npad = _rup(max(n, LANES), LANES)
-    n_tiles = padded_tiles(cfg)
-    mpad = n_tiles * LANES
+    mpad = padded_groups(cfg) * GROUP
 
     velw = jnp.zeros((8, npad), jnp.float32)
     velw = velw.at[0:3, :n].set(bodies.vel.T)
@@ -221,12 +255,12 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     cf = cf.at[125].set(live.astype(jnp.float32))
 
     acc_n, acc_t1, acc_t2 = acc
-    af = jnp.zeros((16, mpad), jnp.float32)
+    af = jnp.zeros((ACC_ROWS, mpad), jnp.float32)
     af = put(af, 0, acc_n)
     af = put(af, 4, acc_t1)
     af = put(af, 8, acc_t2)
 
-    # per-tile body-tile windows over dynamic sides only
+    # per-group body-tile windows over dynamic sides only
     win = dynamic_windows(slot, con.valid, con.body_a, con.body_b,
                           dyn_a, dyn_b, mpad, npad // LANES)
 
@@ -247,7 +281,7 @@ def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m):
 # ---------------------------------------------------------------------------
 
 def _cross3(a, b):
-    """Cross product of [3,128] row stacks."""
+    """Cross product of [3,SUB,128] row stacks."""
     ax, ay, az = a[0:1], a[1:2], a[2:3]
     bx, by, bz = b[0:1], b[1:2], b[2:3]
     return jnp.concatenate(
@@ -268,130 +302,144 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
         velw_out[:, :] = velw_ref[:, :]
         acc_out[:, :] = acc_ref[:, :]
 
-    brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
-                                    ).astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
-
-    live = (con_ref[125:126, :] > 0.5).astype(jnp.float32)     # [1,128]
-    idxa = con_ref[123:124, :]                                 # f32-exact ids
-    idxb = con_ref[124:125, :]
-    cols_t = pl.ds(t * LANES, LANES)
     bt0 = tmin_ref[t]
     bt1 = tmax_ref[t]
 
-    def member(bt):
-        """Does this manifold tile touch body tile bt? (bits skip, see
-        dynamic_windows)."""
-        word = bits_ref[t * w_words + bt // WORD_BITS]
-        return ((word >> (bt % WORD_BITS)) & 1) > 0
+    # empty window <=> no valid manifold in the group (color padding /
+    # invalid / parked): skip everything — the seeded acc stays correct
+    @pl.when(bt1 > bt0)
+    def _group():
+        brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
+                                        ).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
 
-    # ---- gather body columns (windowed one-hot matmuls, scratch-accum) ----
-    gA[:, :] = jnp.zeros((8, LANES), jnp.float32)
-    gB[:, :] = jnp.zeros((8, LANES), jnp.float32)
+        live = (con_ref[125:126, :, :] > 0.5).astype(jnp.float32)  # [1,S,L]
+        cols_g = pl.ds(t * LANES, LANES)
 
-    def gather_bt(bt, _):
-        @pl.when(member(bt))
-        def _():
-            cols = pl.ds(bt * LANES, LANES)
-            vt = velw_out[:, cols]
-            oha = (brow + bt * LANES == idxa).astype(jnp.float32)
-            ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
-            gA[:, :] = gA[:, :] + jnp.dot(
-                vt, oha, preferred_element_type=jnp.float32, precision=hp)
-            gB[:, :] = gB[:, :] + jnp.dot(
-                vt, ohb, preferred_element_type=jnp.float32, precision=hp)
-        return 0
+        def member(bt):
+            """Does this group touch body tile bt? (bits skip, see
+            dynamic_windows)."""
+            word = bits_ref[t * w_words + bt // WORD_BITS]
+            return ((word >> (bt % WORD_BITS)) & 1) > 0
 
-    jax.lax.fori_loop(bt0, bt1, gather_bt, 0)
-    A = gA[:, :]
-    B = gB[:, :]
+        # ---- gather body columns (windowed one-hot matmuls, per sub-tile) --
+        gA[:, :, :] = jnp.zeros((8, SUB, LANES), jnp.float32)
+        gB[:, :, :] = jnp.zeros((8, SUB, LANES), jnp.float32)
 
-    va, wa, ima = A[0:3], A[3:6], A[6:7]
-    vb, wb, imb = B[0:3], B[3:6], B[6:7]
-    va0, wa0, vb0, wb0 = va, wa, vb, wb
+        def gather_bt(bt, _):
+            @pl.when(member(bt))
+            def _():
+                cols = pl.ds(bt * LANES, LANES)
+                vt = velw_out[:, cols]
+                for s in range(SUB):
+                    ia_s = con_ref[123:124, s, :]          # [1,128] f32 ids
+                    ib_s = con_ref[124:125, s, :]
+                    oha = (brow + bt * LANES == ia_s).astype(jnp.float32)
+                    ohb = (brow + bt * LANES == ib_s).astype(jnp.float32)
+                    gA[:, s, :] = gA[:, s, :] + jnp.dot(
+                        vt, oha, preferred_element_type=jnp.float32,
+                        precision=hp)
+                    gB[:, s, :] = gB[:, s, :] + jnp.dot(
+                        vt, ohb, preferred_element_type=jnp.float32,
+                        precision=hp)
+            return 0
 
-    cn = con_ref[0:3, :]
-    t1 = con_ref[3:6, :]
-    t2 = con_ref[6:9, :]
-    mu = con_ref[9:10, :]
-    relax = con_ref[10:11, :] * live
+        jax.lax.fori_loop(bt0, bt1, gather_bt, 0)
+        A = gA[:, :, :]
+        B = gB[:, :, :]
 
-    acc_tile = acc_out[:, cols_t]                               # [16,128]
-    new_n_rows, new_t1_rows, new_t2_rows = [], [], []
+        va, wa, ima = A[0:3], A[3:6], A[6:7]
+        vb, wb, imb = B[0:3], B[3:6], B[6:7]
+        va0, wa0, vb0, wb0 = va, wa, vb, wb
 
-    for p in range(CONTACT_POINTS):
-        b0 = _PT0 + _PT * p
-        ra = con_ref[b0:b0 + 3, :]
-        rb = con_ref[b0 + 3:b0 + 6, :]
-        jna = con_ref[b0 + 6:b0 + 9, :]
-        jnb = con_ref[b0 + 9:b0 + 12, :]
-        jt1a = con_ref[b0 + 12:b0 + 15, :]
-        jt1b = con_ref[b0 + 15:b0 + 18, :]
-        jt2a = con_ref[b0 + 18:b0 + 21, :]
-        jt2b = con_ref[b0 + 21:b0 + 24, :]
-        mn = con_ref[b0 + 24:b0 + 25, :]
-        mt1 = con_ref[b0 + 25:b0 + 26, :]
-        mt2 = con_ref[b0 + 26:b0 + 27, :]
-        bias = con_ref[b0 + 27:b0 + 28, :]
+        cn = con_ref[0:3, :, :]
+        t1 = con_ref[3:6, :, :]
+        t2 = con_ref[6:9, :, :]
+        mu = con_ref[9:10, :, :]
+        relax = con_ref[10:11, :, :] * live
 
-        vrel = vb + _cross3(wb, rb) - va - _cross3(wa, ra)
+        acc_blk = acc_out[:, cols_g]                       # [96,128]
 
-        an = acc_tile[p:p + 1]
-        at1 = acc_tile[4 + p:5 + p]
-        at2 = acc_tile[8 + p:9 + p]
+        for p in range(CONTACT_POINTS):
+            b0 = _PT0 + _PT * p
+            ra = con_ref[b0:b0 + 3, :, :]
+            rb = con_ref[b0 + 3:b0 + 6, :, :]
+            jna = con_ref[b0 + 6:b0 + 9, :, :]
+            jnb = con_ref[b0 + 9:b0 + 12, :, :]
+            jt1a = con_ref[b0 + 12:b0 + 15, :, :]
+            jt1b = con_ref[b0 + 15:b0 + 18, :, :]
+            jt2a = con_ref[b0 + 18:b0 + 21, :, :]
+            jt2b = con_ref[b0 + 21:b0 + 24, :, :]
+            mn = con_ref[b0 + 24:b0 + 25, :, :]
+            mt1 = con_ref[b0 + 25:b0 + 26, :, :]
+            mt2 = con_ref[b0 + 26:b0 + 27, :, :]
+            bias = con_ref[b0 + 27:b0 + 28, :, :]
 
-        vn = jnp.sum(vrel * cn, axis=0, keepdims=True)
-        dln = (bias - vn) * mn
-        dln = relax * (jnp.maximum(an + dln, 0.0) - an)
+            vrel = vb + _cross3(wb, rb) - va - _cross3(wa, ra)
 
-        bound = mu * (an + dln)
-        vt1 = jnp.sum(vrel * t1, axis=0, keepdims=True)
-        dlt1 = relax * (jnp.clip(at1 - vt1 * mt1, -bound, bound) - at1)
-        vt2 = jnp.sum(vrel * t2, axis=0, keepdims=True)
-        dlt2 = relax * (jnp.clip(at2 - vt2 * mt2, -bound, bound) - at2)
+            an = acc_blk[p * SUB:(p + 1) * SUB].reshape(1, SUB, LANES)
+            at1 = acc_blk[(4 + p) * SUB:(5 + p) * SUB].reshape(1, SUB, LANES)
+            at2 = acc_blk[(8 + p) * SUB:(9 + p) * SUB].reshape(1, SUB, LANES)
 
-        P = dln * cn + dlt1 * t1 + dlt2 * t2
-        va = va - P * ima
-        vb = vb + P * imb
-        wa = wa - (dln * jna + dlt1 * jt1a + dlt2 * jt2a)
-        wb = wb + (dln * jnb + dlt1 * jt1b + dlt2 * jt2b)
+            vn = jnp.sum(vrel * cn, axis=0, keepdims=True)
+            dln = (bias - vn) * mn
+            dln = relax * (jnp.maximum(an + dln, 0.0) - an)
 
-        new_n_rows.append(an + dln)
-        new_t1_rows.append(at1 + dlt1)
-        new_t2_rows.append(at2 + dlt2)
+            bound = mu * (an + dln)
+            vt1 = jnp.sum(vrel * t1, axis=0, keepdims=True)
+            dlt1 = relax * (jnp.clip(at1 - vt1 * mt1, -bound, bound) - at1)
+            vt2 = jnp.sum(vrel * t2, axis=0, keepdims=True)
+            dlt2 = relax * (jnp.clip(at2 - vt2 * mt2, -bound, bound) - at2)
 
-    acc_out[:, cols_t] = jnp.concatenate(
-        new_n_rows + new_t1_rows + new_t2_rows
-        + [jnp.zeros((4, LANES), jnp.float32)], axis=0)
+            P = dln * cn + dlt1 * t1 + dlt2 * t2
+            va = va - P * ima
+            vb = vb + P * imb
+            wa = wa - (dln * jna + dlt1 * jt1a + dlt2 * jt2a)
+            wb = wb + (dln * jnb + dlt1 * jt1b + dlt2 * jt2b)
 
-    dA = jnp.concatenate([va - va0, wa - wa0, jnp.zeros((2, LANES))], 0) * live
-    dB = jnp.concatenate([vb - vb0, wb - wb0, jnp.zeros((2, LANES))], 0) * live
+            acc_out[p * SUB:(p + 1) * SUB, cols_g] = (
+                (an + dln).reshape(SUB, LANES))
+            acc_out[(4 + p) * SUB:(5 + p) * SUB, cols_g] = (
+                (at1 + dlt1).reshape(SUB, LANES))
+            acc_out[(8 + p) * SUB:(9 + p) * SUB, cols_g] = (
+                (at2 + dlt2).reshape(SUB, LANES))
 
-    # ---- scatter (conflict-free: the tile is single-color) ----
-    def scatter_bt(bt, _):
-        @pl.when(member(bt))
-        def _():
-            cols = pl.ds(bt * LANES, LANES)
-            oha = (brow + bt * LANES == idxa).astype(jnp.float32)
-            ohb = (brow + bt * LANES == idxb).astype(jnp.float32)
-            upd = (
-                jax.lax.dot_general(dA, oha, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=hp)
-                + jax.lax.dot_general(dB, ohb, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=hp)
-            )
-            velw_out[:, cols] = velw_out[:, cols] + upd
-        return 0
+        dA = jnp.concatenate(
+            [va - va0, wa - wa0, jnp.zeros((2, SUB, LANES))], 0) * live
+        dB = jnp.concatenate(
+            [vb - vb0, wb - wb0, jnp.zeros((2, SUB, LANES))], 0) * live
 
-    jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
+        # ---- scatter (conflict-free: the group is single-color) ----
+        def scatter_bt(bt, _):
+            @pl.when(member(bt))
+            def _():
+                cols = pl.ds(bt * LANES, LANES)
+                upd = jnp.zeros((8, LANES), jnp.float32)
+                for s in range(SUB):
+                    ia_s = con_ref[123:124, s, :]
+                    ib_s = con_ref[124:125, s, :]
+                    oha = (brow + bt * LANES == ia_s).astype(jnp.float32)
+                    ohb = (brow + bt * LANES == ib_s).astype(jnp.float32)
+                    upd = upd + (
+                        jax.lax.dot_general(
+                            dA[:, s, :], oha, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=hp)
+                        + jax.lax.dot_general(
+                            dB[:, s, :], ohb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=hp)
+                    )
+                velw_out[:, cols] = velw_out[:, cols] + upd
+            return 0
+
+        jax.lax.fori_loop(bt0, bt1, scatter_bt, 0)
 
 
 def solve_packed(velw, cf, af, win, cfg: SimConfig,
                  interpret: bool = False, alias: bool = True):
     """Run the iterated solve on pre-packed tensors (from pack_solver_inputs
-    or the Pallas setup kernel). Returns (velw_out, acc_out).
+    or the Pallas setup kernel). `cf`/`af` are the 2D [rows, mpad] layouts;
+    the group reshapes happen here. Returns (velw_out, acc_out[ACC_ROWS,
+    mpad]).
 
     `alias=False` disables the velw/acc input->output buffer aliasing. It is
     REQUIRED when velw/af are outputs of another pallas_call with no other
@@ -404,29 +452,34 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
     tmin, tmax, bits = win
     npad = velw.shape[1]
     mpad = cf.shape[1]
-    n_tiles = mpad // LANES
+    n_groups = mpad // GROUP
     w_words = window_words(npad // LANES)
+
+    cf3 = cf.reshape(CON_ROWS, n_groups * SUB, LANES)
+    af_k = acc_to_kernel_layout(af, cfg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(cfg.solver_iters, n_tiles),
+        grid=(cfg.solver_iters, n_groups),
         in_specs=[
             pl.BlockSpec((8, npad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),            # velw (resident)
-            pl.BlockSpec((CON_ROWS, LANES), lambda i, t, *_: (0, t),
-                         memory_space=pltpu.VMEM),            # con tile stream
-            pl.BlockSpec((16, mpad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),            # acc (resident)
+                         memory_space=pltpu.VMEM),         # velw (resident)
+            pl.BlockSpec((CON_ROWS, SUB, LANES), lambda i, t, *_: (0, t, 0),
+                         memory_space=pltpu.VMEM),         # con group stream
+            pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
+                         lambda i, t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),         # acc (resident)
         ],
         out_specs=[
             pl.BlockSpec((8, npad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),            # velw out
-            pl.BlockSpec((16, mpad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),            # acc out
+                         memory_space=pltpu.VMEM),         # velw out
+            pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
+                         lambda i, t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),         # acc out
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.float32),              # gather A
-            pltpu.VMEM((8, LANES), jnp.float32),              # gather B
+            pltpu.VMEM((8, SUB, LANES), jnp.float32),      # gather A
+            pltpu.VMEM((8, SUB, LANES), jnp.float32),      # gather B
         ],
     )
     velw_out, acc_out = pl.pallas_call(
@@ -434,7 +487,7 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
-            jax.ShapeDtypeStruct(af.shape, jnp.float32),
+            jax.ShapeDtypeStruct(af_k.shape, jnp.float32),
         ],
         # velw->out0, acc->out1 (skipped when alias=False, see docstring)
         input_output_aliases={3: 0, 5: 1} if alias else {},
@@ -443,8 +496,8 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tmin, tmax, bits, velw, cf, af)
-    return velw_out, acc_out
+    )(tmin, tmax, bits, velw, cf3, af_k)
+    return velw_out, acc_from_kernel_layout(acc_out, cfg)
 
 
 def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
@@ -460,13 +513,16 @@ def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
 
 def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
     """VMEM feasibility: resident body table + resident accumulators +
-    streamed constraint tile buffers. `con` itself is HBM-bound."""
+    streamed constraint group buffers. `con` itself is HBM-bound."""
     npad = _rup(max(n_bodies, LANES), LANES)
-    mpad = padded_tiles(cfg) * LANES
-    # two separate pallas calls, each must fit ~10MB of the 16MB VMEM:
-    # solve residents = velw + acc (acc must stay resident — streamed
-    # aliased read-back is not exact); setup residents = velw + body table
+    mpad = padded_groups(cfg) * GROUP
+    # two separate pallas calls, each must fit in the ~16MB VMEM. The fused
+    # path always runs with alias=False (chained aliasing corrupts — see
+    # module hazards), so input AND output buffers are simultaneously
+    # resident: solve holds velw in+out (2x8 rows) plus acc in+out
+    # (2xACC_ROWS rows of mpad); setup holds velw in+out plus the body table.
     body_tbl_rows = 24 if cfg.restitution > 0.0 else 16
-    resident = 8 * npad * 4 + max(16 * mpad, body_tbl_rows * npad) * 4
-    buffers = 4 * CON_ROWS * LANES * 4
+    resident = (2 * 8 * npad * 4
+                + max(2 * ACC_ROWS * mpad, (8 + body_tbl_rows) * npad) * 4)
+    buffers = 4 * CON_ROWS * GROUP * 4   # double-buffered con group stream
     return (resident + buffers) < 10 * 1024 * 1024
