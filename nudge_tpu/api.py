@@ -65,7 +65,9 @@ def setup_contact_constraints(bodies: Bodies, contacts: Manifolds,
 def apply_impulses(constraints, bodies: Bodies, accumulators,
                    cfg: SimConfig):
     """Run the iterated impulse solve (the reference calls this in a loop;
-    here `cfg.solver_iters` sweeps run inside). Returns (Bodies, acc)."""
+    here `cfg.solver_iters` sweeps run inside). Returns (Bodies, acc,
+    (pseudo_vel, pseudo_angvel)) — the pseudo pair is the split-impulse
+    position correction, applied by integrate.apply_position_correction."""
     return _solver.solve(bodies, constraints, accumulators, cfg)
 
 

@@ -56,6 +56,12 @@ class SimConfig:
     # explodes (observed at the 20480-box drop; the standard stabilization
     # in production engines)
     max_bias_vel: float = 2.0
+    # split-impulse position correction: penetration is resolved by a
+    # parallel PSEUDO-velocity solve whose result moves positions but never
+    # momentum, and the Baumgarte term leaves the velocity solve entirely —
+    # removing its energy injection (round-1 fidelity finding: settled-pile
+    # KE grew linearly from bias churn). β/cap reuse baumgarte/max_bias_vel.
+    split_impulse: bool = True
     friction: float = 0.5           # default Coulomb friction if collider has none
     restitution: float = 0.0        # reference has none [MED]; kept as a knob
     warm_start: bool = True

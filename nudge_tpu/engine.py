@@ -17,7 +17,7 @@ from flax import struct
 from .config import SimConfig
 from .ops.cache import read_cached_impulses, write_cached_impulses
 from .ops.contacts import collide
-from .ops.integrate import advance, apply_gravity
+from .ops.integrate import advance, apply_gravity, apply_position_correction
 from .ops.sleeping import update_sleep
 from .ops.setup_kernel import setup_solve_fused
 from .ops.solver import accumulated_world_impulse, setup_constraints, solve
@@ -52,17 +52,19 @@ def step(state: SimState, cfg: SimConfig):
     contacts, bp = collide(state, cfg)
     warm = read_cached_impulses(state.cache, contacts)
     if _use_kernels(cfg, bodies.pos.shape[0]):
-        bodies, acc_world, spill = setup_solve_fused(
+        bodies, acc_world, spill, pseudo = setup_solve_fused(
             bodies, contacts, warm, cfg,
             interpret=(cfg.solver == "pallas_interpret"))
     else:
         con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
-        bodies, acc = solve(bodies, con, acc, cfg)
+        bodies, acc, pseudo = solve(bodies, con, acc, cfg)
         acc_world = accumulated_world_impulse(con, acc)
         spill = con.spill_count
     cache = write_cached_impulses(contacts, acc_world)
 
     bodies = advance(bodies, state.sleep, cfg)
+    if cfg.split_impulse:
+        bodies = apply_position_correction(bodies, pseudo, state.sleep, cfg)
     sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
 
     new_state = state.replace(

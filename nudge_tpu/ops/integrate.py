@@ -23,6 +23,19 @@ def apply_gravity(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
     return bodies.replace(vel=jnp.where(move, bodies.vel + g * cfg.dt, bodies.vel))
 
 
+def apply_position_correction(bodies: Bodies, pseudo, sleep: SleepState,
+                              cfg: SimConfig) -> Bodies:
+    """Split-impulse position fixup: integrate the solver's PSEUDO
+    velocities into pose only (momentum untouched — that is the whole point;
+    see SimConfig.split_impulse)."""
+    pv, pw = pseudo
+    move = (bodies.dynamic & sleep.awake)[:, None]
+    pos = jnp.where(move, bodies.pos + pv * cfg.dt, bodies.pos)
+    quat = jnp.where(move, quat_integrate(bodies.quat, pw, cfg.dt),
+                     bodies.quat)
+    return bodies.replace(pos=pos, quat=quat)
+
+
 def advance(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
     """x += v·dt; q = normalize(q + ½·dt·ω⊗q) on dynamic awake bodies."""
     move = (bodies.dynamic & sleep.awake)[:, None]

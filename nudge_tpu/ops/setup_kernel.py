@@ -34,9 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CONTACT_POINTS, SimConfig
 from ..state import Bodies
 from .solver_kernel import (
-    ACC_ROWS, CON_ROWS, GROUP, LANES, SUB, WORD_BITS, _IDX_SENT, _PT, _PT0,
-    _rup, acc_from_kernel_layout, color_sorted_slots, dynamic_windows,
-    padded_groups, spatial_subkey, window_words,
+    ACC_ROWS, CON_ROWS, GROUP, LANES, SUB, WORD_BITS, _IDX_SENT, _PB0, _PT,
+    _PT0, _rup, acc_from_kernel_layout, color_sorted_slots, dynamic_windows,
+    padded_groups, spatial_subkey, vel_rows, window_words,
 )
 
 GEOM_ROWS = 40
@@ -75,7 +75,7 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
     m = man.normal.shape[0]
     npad = _rup(max(n, LANES), LANES)
 
-    velw = jnp.zeros((8, npad), jnp.float32)
+    velw = jnp.zeros((vel_rows(cfg), npad), jnp.float32)
     velw = velw.at[0:3, :n].set(bodies.vel.T)
     velw = velw.at[3:6, :n].set(bodies.angvel.T)
     velw = velw.at[6, :n].set(bodies.inv_mass)
@@ -169,7 +169,9 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
     slop = cfg.slop
     restitution = cfg.restitution
     warm_start = cfg.warm_start
+    split = cfg.split_impulse
     n_body_rows = body_rows(cfg)
+    n_vel_rows = vel_rows(cfg)
 
     def kernel(tmin_ref, tmax_ref, bits_ref, bt_ref, geom_ref, velw_in,
                velw_out, con_out, acc_out, gA, gB):
@@ -262,9 +264,15 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             jt1a, jt1b, mt1 = eff(t1)
             jt2a, jt2b, mt2 = eff(t2)
 
-            bias = jnp.minimum(
+            baum = jnp.minimum(
                 baumgarte_over_dt * jnp.maximum(depth - slop, 0.0),
                 max_bias_vel)
+            if split:
+                bias = jnp.zeros((1, SUB, LANES), jnp.float32)
+                pos_bias = baum
+            else:
+                bias = baum
+                pos_bias = jnp.zeros((1, SUB, LANES), jnp.float32)
             if restitution > 0.0:
                 va0, wa0 = A[11:14], A[14:17]
                 vb0, wb0 = B[11:14], B[14:17]
@@ -301,6 +309,7 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             con_out[b0 + 25:b0 + 26, :, :] = mt1 * pv
             con_out[b0 + 26:b0 + 27, :, :] = mt2 * pv
             con_out[b0 + 27:b0 + 28, :, :] = bias * pv
+            con_out[_PB0 + p:_PB0 + p + 1, :, :] = pos_bias * pv
 
             # acc block rows: q*SUB + s layout (see solver_kernel acc docs)
             acc_out[p * SUB:(p + 1) * SUB, :] = an.reshape(SUB, LANES)
@@ -310,20 +319,21 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
         con_out[123:124, :, :] = idxa
         con_out[124:125, :, :] = idxb
         con_out[125:126, :, :] = live
-        con_out[126:CON_ROWS, :, :] = jnp.zeros(
-            (CON_ROWS - 126, SUB, LANES), jnp.float32)
+        con_out[_PB0 + CONTACT_POINTS:CON_ROWS, :, :] = jnp.zeros(
+            (CON_ROWS - _PB0 - CONTACT_POINTS, SUB, LANES), jnp.float32)
 
-        # ---- apply warm-start impulses to body momentum ----
+        # ---- apply warm-start impulses to body momentum (never pseudo) ----
+        pad_rows = n_vel_rows - 6
         dA = jnp.concatenate(
-            [-Pimp * ima, -dwa, jnp.zeros((2, SUB, LANES))], 0) * live
+            [-Pimp * ima, -dwa, jnp.zeros((pad_rows, SUB, LANES))], 0) * live
         dB = jnp.concatenate(
-            [Pimp * imb, dwb, jnp.zeros((2, SUB, LANES))], 0) * live
+            [Pimp * imb, dwb, jnp.zeros((pad_rows, SUB, LANES))], 0) * live
 
         def scatter_bt(bti, _):
             @pl.when(member(bti))
             def _():
                 cols = pl.ds(bti * LANES, LANES)
-                upd = jnp.zeros((8, LANES), jnp.float32)
+                upd = jnp.zeros((n_vel_rows, LANES), jnp.float32)
                 for s in range(SUB):
                     ia_s = geom_ref[5:6, s, :]
                     ib_s = geom_ref[6:7, s, :]
@@ -365,11 +375,11 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
                          memory_space=pltpu.VMEM),          # body table
             pl.BlockSpec((GEOM_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
                          memory_space=pltpu.VMEM),          # geometry stream
-            pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
+            pl.BlockSpec((vel_rows(cfg), npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # velw (resident)
         ],
         out_specs=[
-            pl.BlockSpec((8, npad), lambda t, *_: (0, 0),
+            pl.BlockSpec((vel_rows(cfg), npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # velw out
             pl.BlockSpec((CON_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
                          memory_space=pltpu.VMEM),          # con group
@@ -409,7 +419,8 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
 
     Replaces setup_constraints + solve for the TPU path (reference:
     setup_contact_constraints + apply_impulses, SURVEY §3.C). Returns
-    (bodies, world_impulse f32[M,P,3] for the cache, spill_count)."""
+    (bodies, world_impulse f32[M,P,3] for the cache, spill_count,
+    (pseudo_vel, pseudo_angvel))."""
     from ..mathx import orthonormal_basis
     from .solver import color_manifolds
     from .solver_kernel import solve_packed
@@ -433,6 +444,11 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     n = bodies.pos.shape[0]
     bodies = bodies.replace(vel=velw_out[0:3, :n].T,
                             angvel=velw_out[3:6, :n].T)
+    if velw_out.shape[0] >= 16:
+        pseudo = (velw_out[8:11, :n].T, velw_out[11:14, :n].T)
+    else:
+        z = jnp.zeros((n, 3), jnp.float32)
+        pseudo = (z, z)
     acc_n = acc_out[0:4, :].T[slot]
     acc_t1 = acc_out[4:8, :].T[slot]
     acc_t2 = acc_out[8:12, :].T[slot]
@@ -440,4 +456,4 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     world = (acc_n[..., None] * man.normal[:, None]
              + acc_t1[..., None] * t1[:, None]
              + acc_t2[..., None] * t2[:, None])
-    return bodies, world, spill
+    return bodies, world, spill, pseudo

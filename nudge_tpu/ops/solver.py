@@ -64,6 +64,7 @@ class ContactConstraints:
     mt1: jnp.ndarray
     mt2: jnp.ndarray
     bias: jnp.ndarray       # f32[M,P] target separating velocity (>= 0)
+    pos_bias: jnp.ndarray   # f32[M,P] pseudo-velocity target (split impulse)
     mu: jnp.ndarray         # f32[M]
     im_a: jnp.ndarray       # f32[M]
     im_b: jnp.ndarray
@@ -187,11 +188,18 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
     jt1a, jt1b, mt1 = eff(t1)
     jt2a, jt2b, mt2 = eff(t2)
 
-    # velocity-level position bias (Baumgarte, capped — see
-    # SimConfig.max_bias_vel) + optional restitution
-    bias = jnp.minimum(
+    # position bias (Baumgarte, capped — see SimConfig.max_bias_vel): into
+    # the velocity solve classically, or into the pseudo-velocity channel
+    # under split impulse (never injects momentum/energy there)
+    baum = jnp.minimum(
         cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0),
         cfg.max_bias_vel)
+    if cfg.split_impulse:
+        bias = jnp.zeros_like(baum)
+        pos_bias = baum
+    else:
+        bias = baum
+        pos_bias = jnp.zeros_like(baum)
     if cfg.restitution > 0.0:
         vrel0 = (
             (bodies.vel[bb_][:, None] + cross(bodies.angvel[bb_][:, None], rb))
@@ -205,7 +213,8 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
     con = ContactConstraints(
         body_a=ba, body_b=bb_, n=n, t1=t1, t2=t2, ra=ra, rb=rb,
         jna=jna, jnb=jnb, jt1a=jt1a, jt1b=jt1b, jt2a=jt2a, jt2b=jt2b,
-        mn=mn, mt1=mt1, mt2=mt2, bias=bias, mu=man.friction,
+        mn=mn, mt1=mt1, mt2=mt2, bias=bias, pos_bias=pos_bias,
+        mu=man.friction,
         im_a=im_a, im_b=im_b, relax=relax, color=color, n_colors=n_colors,
         point_valid=man.point_valid, valid=man.valid, spill_count=spill,
     )
@@ -254,12 +263,21 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
     """Iterated impulse solve (the reference's apply_impulses hot loop,
     SURVEY C11): `solver_iters` sweeps, sequential over colors, parallel
     across manifolds of a color, sequential over the points of a manifold
-    with velocities kept in registers. Returns (bodies, acc)."""
+    with velocities kept in registers.
+
+    Under cfg.split_impulse a pseudo-velocity normal solve runs in the same
+    sweeps against `pos_bias` (Box2D-style, no accumulator: each push is
+    clamped >= 0 and the gathered pseudo velocity itself damps further
+    pushes); the pseudo result moves positions only (engine.step applies
+    it) and never feeds the cache or momentum.
+
+    Returns (bodies, acc, (pseudo_vel, pseudo_angvel))."""
     acc_n, acc_t1, acc_t2 = acc
     n_colors = jnp.maximum(con.n_colors, 1)
+    split = cfg.split_impulse
 
     def pass_fn(i, carry):
-        vel, angvel, acc_n, acc_t1, acc_t2 = carry
+        vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2 = carry
         c = jnp.mod(i, n_colors)
         mask = con.valid & (con.color == c)
         relax = jnp.where(mask, con.relax, 0.0)
@@ -268,6 +286,10 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
         vb = vel[con.body_b]
         wa = angvel[con.body_a]
         wb = angvel[con.body_b]
+        pva = pvel[con.body_a]
+        pvb = pvel[con.body_b]
+        pwa = pang[con.body_a]
+        pwb = pang[con.body_b]
 
         dlns, dlt1s, dlt2s = [], [], []
         # sequential Gauss-Seidel over the manifold's points, velocities live
@@ -303,6 +325,18 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
             dlt1s.append(dlt1)
             dlt2s.append(dlt2)
 
+            if split:
+                pvrel = (pvb + cross(pwb, con.rb[:, p])
+                         - pva - cross(pwa, con.ra[:, p]))
+                pvn = dot(pvrel, con.n)
+                dlp = pm * jnp.maximum(
+                    (con.pos_bias[:, p] - pvn) * con.mn[:, p], 0.0)
+                Pp = dlp[:, None] * con.n
+                pva = pva - Pp * con.im_a[:, None]
+                pvb = pvb + Pp * con.im_b[:, None]
+                pwa = pwa - dlp[:, None] * con.jna[:, p]
+                pwb = pwb + dlp[:, None] * con.jnb[:, p]
+
         acc_n = acc_n + jnp.stack(dlns, axis=1)
         acc_t1 = acc_t1 + jnp.stack(dlt1s, axis=1)
         acc_t2 = acc_t2 + jnp.stack(dlt2s, axis=1)
@@ -315,13 +349,24 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
             jnp.where(mcol, wa - angvel[con.body_a], 0.0))
         angvel = angvel.at[con.body_b].add(
             jnp.where(mcol, wb - angvel[con.body_b], 0.0))
-        return (vel, angvel, acc_n, acc_t1, acc_t2)
+        if split:
+            pvel = pvel.at[con.body_a].add(
+                jnp.where(mcol, pva - pvel[con.body_a], 0.0))
+            pvel = pvel.at[con.body_b].add(
+                jnp.where(mcol, pvb - pvel[con.body_b], 0.0))
+            pang = pang.at[con.body_a].add(
+                jnp.where(mcol, pwa - pang[con.body_a], 0.0))
+            pang = pang.at[con.body_b].add(
+                jnp.where(mcol, pwb - pang[con.body_b], 0.0))
+        return (vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2)
 
-    init = (bodies.vel, bodies.angvel, acc_n, acc_t1, acc_t2)
-    vel, angvel, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
+    zero_v = jnp.zeros_like(bodies.vel)
+    init = (bodies.vel, bodies.angvel, zero_v, zero_v, acc_n, acc_t1, acc_t2)
+    vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
         0, cfg.solver_iters * n_colors, pass_fn, init
     )
-    return bodies.replace(vel=vel, angvel=angvel), (acc_n, acc_t1, acc_t2)
+    return (bodies.replace(vel=vel, angvel=angvel),
+            (acc_n, acc_t1, acc_t2), (pvel, pang))
 
 
 def accumulated_world_impulse(con: ContactConstraints, acc) -> jnp.ndarray:

@@ -66,11 +66,18 @@ from ..state import Bodies
 LANES = 128
 SUB = 8                 # manifold tiles per group ([8,128] vreg packing)
 GROUP = SUB * LANES     # manifolds per grid step
-CON_ROWS = 128          # 11 + 28*4 = 123, padded
+CON_ROWS = 132          # 11 + 28*4 = 123 + idx/live + 4 pos_bias, padded
 ACC_ROWS = 12           # 4 lam_n + 4 lam_t1 + 4 lam_t2
 _PT = 28                # rows per point
 _PT0 = 11               # first point row
+_PB0 = 126              # pos_bias row of point p = _PB0 + p (split impulse)
 _IDX_SENT = 1 << 28     # "dead lane" body index sentinel
+
+
+def vel_rows(cfg: SimConfig) -> int:
+    """velw table rows: 0:3 v | 3:6 w | 6 inv_mass | 7 pad, plus a pseudo
+    channel 8:11 pv | 11:14 pw | 14:16 pad under split impulse."""
+    return 16 if cfg.split_impulse else 8
 
 
 def _rup(x, m):
@@ -201,7 +208,7 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     npad = _rup(max(n, LANES), LANES)
     mpad = padded_groups(cfg) * GROUP
 
-    velw = jnp.zeros((8, npad), jnp.float32)
+    velw = jnp.zeros((vel_rows(cfg), npad), jnp.float32)
     velw = velw.at[0:3, :n].set(bodies.vel.T)
     velw = velw.at[3:6, :n].set(bodies.angvel.T)
     velw = velw.at[6, :n].set(bodies.inv_mass)
@@ -253,6 +260,9 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     cf = cf.at[123].set(ia.astype(jnp.float32))
     cf = cf.at[124].set(ib.astype(jnp.float32))
     cf = cf.at[125].set(live.astype(jnp.float32))
+    for p in range(CONTACT_POINTS):
+        cf = put(cf, _PB0 + p,
+                 jnp.where(pv[:, p], con.pos_bias[:, p], 0.0))
 
     acc_n, acc_t1, acc_t2 = acc
     af = jnp.zeros((ACC_ROWS, mpad), jnp.float32)
@@ -273,7 +283,12 @@ def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m):
     acc_t1 = accf[4:8, :].T[slot]
     acc_t2 = accf[8:12, :].T[slot]
     bodies = bodies.replace(vel=velw[0:3, :n].T, angvel=velw[3:6, :n].T)
-    return bodies, (acc_n, acc_t1, acc_t2)
+    if velw.shape[0] >= 16:
+        pseudo = (velw[8:11, :n].T, velw[11:14, :n].T)
+    else:
+        z = jnp.zeros_like(bodies.vel)
+        pseudo = (z, z)
+    return bodies, (acc_n, acc_t1, acc_t2), pseudo
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +305,7 @@ def _cross3(a, b):
 
 
 def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
-                  velw_out, acc_out, gA, gB, *, w_words):
+                  velw_out, acc_out, gA, gB, *, w_words, split):
     i = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -322,9 +337,10 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
             word = bits_ref[t * w_words + bt // WORD_BITS]
             return ((word >> (bt % WORD_BITS)) & 1) > 0
 
+        vrows = 16 if split else 8
         # ---- gather body columns (windowed one-hot matmuls, per sub-tile) --
-        gA[:, :, :] = jnp.zeros((8, SUB, LANES), jnp.float32)
-        gB[:, :, :] = jnp.zeros((8, SUB, LANES), jnp.float32)
+        gA[:, :, :] = jnp.zeros((vrows, SUB, LANES), jnp.float32)
+        gB[:, :, :] = jnp.zeros((vrows, SUB, LANES), jnp.float32)
 
         def gather_bt(bt, _):
             @pl.when(member(bt))
@@ -351,6 +367,10 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
         va, wa, ima = A[0:3], A[3:6], A[6:7]
         vb, wb, imb = B[0:3], B[3:6], B[6:7]
         va0, wa0, vb0, wb0 = va, wa, vb, wb
+        if split:
+            pva, pwa = A[8:11], A[11:14]
+            pvb, pwb = B[8:11], B[11:14]
+            pva0, pwa0, pvb0, pwb0 = pva, pwa, pvb, pwb
 
         cn = con_ref[0:3, :, :]
         t1 = con_ref[3:6, :, :]
@@ -404,17 +424,38 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
             acc_out[(8 + p) * SUB:(9 + p) * SUB, cols_g] = (
                 (at2 + dlt2).reshape(SUB, LANES))
 
-        dA = jnp.concatenate(
-            [va - va0, wa - wa0, jnp.zeros((2, SUB, LANES))], 0) * live
-        dB = jnp.concatenate(
-            [vb - vb0, wb - wb0, jnp.zeros((2, SUB, LANES))], 0) * live
+            if split:
+                pbias = con_ref[_PB0 + p:_PB0 + p + 1, :, :]
+                pvrel = pvb + _cross3(pwb, rb) - pva - _cross3(pwa, ra)
+                pvn = jnp.sum(pvrel * cn, axis=0, keepdims=True)
+                dlp = relax * jnp.maximum((pbias - pvn) * mn, 0.0)
+                Pp = dlp * cn
+                pva = pva - Pp * ima
+                pvb = pvb + Pp * imb
+                pwa = pwa - dlp * jna
+                pwb = pwb + dlp * jnb
+
+        if split:
+            dA = jnp.concatenate(
+                [va - va0, wa - wa0, jnp.zeros((2, SUB, LANES)),
+                 pva - pva0, pwa - pwa0, jnp.zeros((2, SUB, LANES))],
+                0) * live
+            dB = jnp.concatenate(
+                [vb - vb0, wb - wb0, jnp.zeros((2, SUB, LANES)),
+                 pvb - pvb0, pwb - pwb0, jnp.zeros((2, SUB, LANES))],
+                0) * live
+        else:
+            dA = jnp.concatenate(
+                [va - va0, wa - wa0, jnp.zeros((2, SUB, LANES))], 0) * live
+            dB = jnp.concatenate(
+                [vb - vb0, wb - wb0, jnp.zeros((2, SUB, LANES))], 0) * live
 
         # ---- scatter (conflict-free: the group is single-color) ----
         def scatter_bt(bt, _):
             @pl.when(member(bt))
             def _():
                 cols = pl.ds(bt * LANES, LANES)
-                upd = jnp.zeros((8, LANES), jnp.float32)
+                upd = jnp.zeros((vrows, LANES), jnp.float32)
                 for s in range(SUB):
                     ia_s = con_ref[123:124, s, :]
                     ib_s = con_ref[124:125, s, :]
@@ -457,12 +498,13 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
 
     cf3 = cf.reshape(CON_ROWS, n_groups * SUB, LANES)
     af_k = acc_to_kernel_layout(af, cfg)
+    vrows = vel_rows(cfg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cfg.solver_iters, n_groups),
         in_specs=[
-            pl.BlockSpec((8, npad), lambda i, t, *_: (0, 0),
+            pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),         # velw (resident)
             pl.BlockSpec((CON_ROWS, SUB, LANES), lambda i, t, *_: (0, t, 0),
                          memory_space=pltpu.VMEM),         # con group stream
@@ -471,19 +513,19 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
                          memory_space=pltpu.VMEM),         # acc (resident)
         ],
         out_specs=[
-            pl.BlockSpec((8, npad), lambda i, t, *_: (0, 0),
+            pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),         # velw out
             pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
                          lambda i, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),         # acc out
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, SUB, LANES), jnp.float32),      # gather A
-            pltpu.VMEM((8, SUB, LANES), jnp.float32),      # gather B
+            pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather A
+            pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather B
         ],
     )
     velw_out, acc_out = pl.pallas_call(
-        partial(_solve_kernel, w_words=w_words),
+        partial(_solve_kernel, w_words=w_words, split=cfg.split_impulse),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),
@@ -502,7 +544,8 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
 
 def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
                  interpret: bool = False):
-    """Drop-in replacement for solver.solve() using the mega-kernel."""
+    """Drop-in replacement for solver.solve() using the mega-kernel.
+    Returns (bodies, acc, (pseudo_vel, pseudo_angvel)) like solver.solve."""
     m = con.color.shape[0]
     velw, cf, af, win, slot = pack_solver_inputs(
         bodies, con, acc, cfg)
@@ -522,7 +565,9 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
     # resident: solve holds velw in+out (2x8 rows) plus acc in+out
     # (2xACC_ROWS rows of mpad); setup holds velw in+out plus the body table.
     body_tbl_rows = 24 if cfg.restitution > 0.0 else 16
-    resident = (2 * 8 * npad * 4
-                + max(2 * ACC_ROWS * mpad, (8 + body_tbl_rows) * npad) * 4)
-    buffers = 4 * CON_ROWS * GROUP * 4   # double-buffered con group stream
-    return (resident + buffers) < 10 * 1024 * 1024
+    vr = vel_rows(cfg)
+    resident = (2 * vr * npad * 4
+                + max(2 * ACC_ROWS * mpad, (vr + body_tbl_rows) * npad) * 4)
+    buffers = 2 * CON_ROWS * GROUP * 4   # double-buffered con group stream
+    # ~16MB VMEM per core; leave ~4MB for Mosaic temporaries/spills
+    return (resident + buffers) < 12 * 1024 * 1024

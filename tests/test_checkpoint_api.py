@@ -57,10 +57,13 @@ def test_api_pipeline_matches_engine_step():
     contacts, _bp = api.collide(st, cfg)
     warm = api.read_cached_impulses(st.cache, contacts)
     con, bodies, acc = api.setup_contact_constraints(bodies, contacts, warm, cfg)
-    bodies, acc = api.apply_impulses(con, bodies, acc, cfg)
+    bodies, acc, pseudo = api.apply_impulses(con, bodies, acc, cfg)
     cache = api.write_cached_impulses(
         contacts, api.update_cached_impulses(con, acc))
     bodies = api.advance(bodies, st.sleep, cfg)
+    from nudge_tpu.ops.integrate import apply_position_correction
+    if cfg.split_impulse:
+        bodies = apply_position_correction(bodies, pseudo, st.sleep, cfg)
 
     np.testing.assert_allclose(np.asarray(ref_state.bodies.pos),
                                np.asarray(bodies.pos), atol=1e-6)

@@ -64,10 +64,10 @@ def test_setup_kernel_matches_xla_pack(pile_inputs):
 def test_fused_solve_matches_xla_solve(pile_inputs):
     cfg, bodies, man, warm = pile_inputs
     con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-    bodies_sx, acc_sx = solve(bodies_x, con, acc, cfg)
+    bodies_sx, acc_sx, pseudo_x = solve(bodies_x, con, acc, cfg)
     world_x = accumulated_world_impulse(con, acc_sx)
 
-    bodies_f, world_f, spill_f = setup_solve_fused(
+    bodies_f, world_f, spill_f, pseudo_f = setup_solve_fused(
         bodies, man, warm, cfg, interpret=True)
 
     np.testing.assert_allclose(
@@ -76,6 +76,8 @@ def test_fused_solve_matches_xla_solve(pile_inputs):
         np.asarray(bodies_sx.angvel), np.asarray(bodies_f.angvel), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(world_x), np.asarray(world_f), atol=1e-5)
+    for x, f in zip(pseudo_x, pseudo_f):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(f), atol=1e-5)
     assert int(spill_f) == int(con.spill_count)
 
 

@@ -34,13 +34,15 @@ def solve_inputs(builder, settle_steps, **over):
 
 
 def assert_solves_equal(cfg, bodies, con, acc):
-    bx, accx = jax.jit(partial(solve, cfg=cfg))(bodies, con, acc)
-    bp, accp = jax.jit(partial(solve_pallas, cfg=cfg, interpret=True))(
+    bx, accx, psx = jax.jit(partial(solve, cfg=cfg))(bodies, con, acc)
+    bp, accp, psp = jax.jit(partial(solve_pallas, cfg=cfg, interpret=True))(
         bodies, con, acc)
     np.testing.assert_array_equal(np.asarray(bx.vel), np.asarray(bp.vel))
     np.testing.assert_array_equal(np.asarray(bx.angvel), np.asarray(bp.angvel))
     for a, p in zip(accx, accp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+    for x, p in zip(psx, psp):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
 
 def test_kernel_bitwise_stack():
@@ -87,9 +89,10 @@ def test_kernel_fits_estimate():
     b = scene_pile(64)
     cfg = b.auto_config()
     assert kernel_fits(cfg, cfg.max_bodies)
-    # v2 streams constraints: 20k-pile (config 4) and 100k bodies fit
-    assert kernel_fits(cfg.replace(max_manifolds=90000), 20480)
-    assert kernel_fits(cfg, 100000)
+    # config 4 (20k bodies, capacity-tuned manifolds) rides the kernel path
+    assert kernel_fits(cfg.replace(max_manifolds=40960), 20480)
+    # without the split-impulse pseudo channel there is room for ~60k bodies
+    assert kernel_fits(cfg.replace(split_impulse=False), 60000)
     # accumulators stay resident: very large manifold caps do not fit
     assert not kernel_fits(cfg.replace(max_manifolds=500000), 20480)
     # body table is resident: millions of bodies do not fit
