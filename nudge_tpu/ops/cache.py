@@ -24,7 +24,13 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 
 def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
     """Core join: returns f32[K,3] impulses for current keys (zeros on miss).
-    Identity = (gid_a, gid_b, feature) — three i32 keys, lex-sorted."""
+    Identity = (gid_a, gid_b, feature) — three i32 keys, lex-sorted.
+
+    Precondition: VALID current keys are unique (guaranteed by the engine —
+    one manifold per collider pair, distinct candidate-slot features within
+    a manifold). With duplicate current keys only the sort-first duplicate
+    would match its cache row; the others see a current row as predecessor.
+    Cache keys may repeat only among invalid rows (sentinel-keyed)."""
     c_ga = jnp.where(c_valid, c_ga, _SENTINEL)
     c_gb = jnp.where(c_valid, c_gb, _SENTINEL)
     c_feat = jnp.where(c_valid, c_feat, _SENTINEL)

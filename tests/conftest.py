@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: jit compiles dominate suite wall time and are
+# identical between runs — repeat runs of the fast tier drop well under the
+# 3-minute target once warm
+from nudge_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/nudge_tpu_xla_tests"))

@@ -1,6 +1,7 @@
 """Checkpoint exact-resume (SURVEY §5) + nudge-parity API pipeline test."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         assert "shape" in str(e)
 
 
+@pytest.mark.slow
 def test_api_pipeline_matches_engine_step():
     """Composing the seven nudge-parity API calls must equal engine.step."""
     b = SceneBuilder()

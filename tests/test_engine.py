@@ -35,6 +35,7 @@ def test_single_box_settles():
     assert m.kinetic_energy[-1] < 1e-5
 
 
+@pytest.mark.slow
 def test_single_box_no_tunnel_fast_drop():
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
@@ -147,6 +148,7 @@ def test_determinism_bitwise():
                                   np.asarray(st2.bodies.quat))
 
 
+@pytest.mark.slow
 def test_warm_start_reduces_residual_jitter():
     """With warm starting the settled stack should be at least as calm."""
     b = scene_stack(nx=1, ny=3, nz=1)

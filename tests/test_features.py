@@ -2,6 +2,7 @@
 transforms, coloring invariant, metrics sanity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ from nudge_tpu.scenes import SceneBuilder, box_inertia_inv
 from nudge_tpu.utils.debug import coloring_conflicts, finite_state
 
 
+@pytest.mark.slow
 def test_restitution_bounce():
     """e=0.8 sphere bounces back up; e=0 box stops dead."""
     b = SceneBuilder()
@@ -53,6 +55,7 @@ def test_multi_collider_body_local_transforms():
     assert finite_state(st)
 
 
+@pytest.mark.slow
 def test_coloring_conflict_free_invariant():
     from nudge_tpu.scenes import scene_pile
 

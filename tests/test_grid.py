@@ -23,7 +23,11 @@ def build(n, sphere_frac=0.0, seed=0):
     return cfg, b.finalize(cfg)
 
 
-@pytest.mark.parametrize("n,sphere_frac", [(64, 0.0), (64, 0.3), (128, 0.25)])
+@pytest.mark.parametrize("n,sphere_frac", [
+    (64, 0.0),
+    pytest.param(64, 0.3, marks=pytest.mark.slow),
+    pytest.param(128, 0.25, marks=pytest.mark.slow),
+])
 def test_grid_matches_allpairs(n, sphere_frac):
     cfg, st = build(n, sphere_frac)
     # settle a bit so there are real contacts and overlaps
@@ -38,6 +42,7 @@ def test_grid_matches_allpairs(n, sphere_frac):
     assert not bool(bb_g.overflow)
 
 
+@pytest.mark.slow
 def test_grid_handles_big_ground():
     """The huge static ground slab must go through the 'big' side channel and
     still pair with every touching box."""
@@ -53,6 +58,7 @@ def test_grid_handles_big_ground():
     assert len(ground_pairs_g) > 0
 
 
+@pytest.mark.slow
 def test_grid_end_to_end_simulation_matches():
     """Rollouts with grid vs allpairs broadphase produce the same candidate
     sets; physics agrees closely over a short horizon (pair ORDER differs, so

@@ -17,6 +17,8 @@ from nudge_tpu.ops import narrowphase as nps
 from nudge_tpu.ops.broadphase import world_colliders
 from nudge_tpu.ops.narrowphase_kernel import box_box_pallas
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels / long rollouts
+
 
 @struct.dataclass
 class _Pairs:

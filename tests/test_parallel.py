@@ -54,6 +54,7 @@ def test_shard_scene_batch_places_on_all_devices(mesh8):
     )
 
 
+@pytest.mark.slow
 def test_batched_step_preserves_sharding(mesh8):
     cfg = small_cfg()
     batch = shard_scene_batch(make_batch(cfg, 16), mesh8)
@@ -65,6 +66,7 @@ def test_batched_step_preserves_sharding(mesh8):
     assert not bool(jnp.any(jnp.isnan(new_batch.bodies.pos)))
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded(mesh8):
     """SPMD over the mesh must be numerically identical to single-device
     vmap — scenes are independent, so partitioning cannot change results."""
@@ -83,6 +85,7 @@ def test_sharded_matches_unsharded(mesh8):
                                   np.asarray(out_metrics.contact_count))
 
 
+@pytest.mark.slow
 def test_scene_independence_under_sharding(mesh8):
     """Each scene's trajectory must not depend on which other scenes share
     the batch: rollout of scene i inside the sharded batch == rollout of

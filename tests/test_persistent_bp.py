@@ -5,6 +5,9 @@ import jax
 
 from nudge_tpu.engine import simulate
 from nudge_tpu.scenes import SceneBuilder, scene_pile
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels / long rollouts
 
 
 def test_persistent_matches_full_rebuild():

@@ -24,6 +24,8 @@ from nudge_tpu.ops.solver import (
 from nudge_tpu.ops.solver_kernel import pack_solver_inputs
 from nudge_tpu.scenes import SceneBuilder, scene_pile
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels / long rollouts
+
 
 @pytest.fixture(scope="module")
 def pile_inputs():

@@ -1,6 +1,7 @@
 """Sleeping / island semantics (SURVEY.md C13)."""
 
 import numpy as np
+import pytest
 import jax
 
 from nudge_tpu.engine import simulate
@@ -29,6 +30,7 @@ def test_single_box_falls_asleep():
     assert m.awake_count[0] == 1
 
 
+@pytest.mark.slow
 def test_sleeping_stack_wakes_on_impact():
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
@@ -70,6 +72,7 @@ def test_sleeping_bodies_dont_consume_contacts():
     assert m.contact_count[-1] == 0
 
 
+@pytest.mark.slow
 def test_sleep_disabled_keeps_everything_awake():
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0))

@@ -45,11 +45,13 @@ def assert_solves_equal(cfg, bodies, con, acc):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
 
+@pytest.mark.slow
 def test_kernel_bitwise_stack():
     cfg, bodies, con, acc = solve_inputs(scene_stack(nx=2, ny=3, nz=1), 50)
     assert_solves_equal(cfg, bodies, con, acc)
 
 
+@pytest.mark.slow
 def test_kernel_bitwise_mixed_pile():
     cfg, bodies, con, acc = solve_inputs(scene_pile(24, sphere_frac=0.3,
                                                     seed=2), 80)
@@ -57,6 +59,7 @@ def test_kernel_bitwise_mixed_pile():
     assert_solves_equal(cfg, bodies, con, acc)
 
 
+@pytest.mark.slow
 def test_kernel_bitwise_falling_no_contacts():
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
@@ -65,6 +68,7 @@ def test_kernel_bitwise_falling_no_contacts():
     assert_solves_equal(cfg, bodies, con, acc)
 
 
+@pytest.mark.slow
 def test_kernel_bitwise_friction_slide():
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0), friction=0.7)
@@ -74,6 +78,7 @@ def test_kernel_bitwise_friction_slide():
     assert_solves_equal(cfg, bodies, con, acc)
 
 
+@pytest.mark.slow
 def test_kernel_full_rollout_behavior():
     """End-to-end rollout with the kernel: settles like the XLA path."""
     b = scene_stack(nx=1, ny=3, nz=1)

@@ -7,6 +7,7 @@ near zero — Baumgarte instead launches it ("popping").
 """
 
 import numpy as np
+import pytest
 
 from nudge_tpu.engine import simulate
 from nudge_tpu.scenes import SceneBuilder
@@ -42,6 +43,7 @@ def test_baumgarte_pops_for_contrast():
     assert abs(pos[1] - 0.495) < 0.05   # it still ends up resting
 
 
+@pytest.mark.slow
 def test_stack_settles_with_split_impulse():
     b = SceneBuilder()
     b.add_static_box((10, 0.5, 10), (0, -0.5, 0))
