@@ -1,16 +1,19 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.md): steps/sec on a settled box pile on one TPU
-chip, with `vs_baseline` measured against the single-threaded C++ reference
-engine in native/ (the upstream published no numbers and its source was not
-mountable — SURVEY.md §0/§6 — so native/nudge_ref.cpp re-implements the same
-pipeline as the CPU anchor).
+Headline metric (BASELINE.md): steps/sec on the settled 20,480-box pile
+(BASELINE config 4 — the north-star scene) on one TPU chip, with the engine
+configured the way the reference runs: sleeping ON and the persistent
+(amortized) broadphase ON. `vs_baseline` is measured against the
+single-threaded C++ reference engine in native/ (AVX2 conflict-free-batch
+solver; the upstream published no numbers and its source was not mountable —
+SURVEY.md §0/§6 — so native/nudge_ref.cpp re-implements the same pipeline
+as the CPU anchor).
 
-Default headline: the 2,048-box pile (BASELINE config 3 scale). The 20,480
-pile (config 4) and the flattened scene batch (config 5) are reported in
-`detail` when --all is passed.
+Fidelity gates ride along in `detail`: kinetic-energy trend across the
+measurement window (split impulse keeps it decaying), max penetration
+depth, sleeping body count, overflow flags.
 
-Usage: python bench.py [--bodies N] [--steps N] [--all] [--batch]
+Usage: python bench.py [--bodies N] [--steps N] [--all] [--batch] [--vbatch]
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ import numpy as np  # noqa: E402
 _NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 
-def tuned_config(builder, n_bodies: int):
+def tuned_config(builder, n_bodies: int, **overrides):
     """Capacity-tuned config: manifolds ~1.6x expected touching pairs
     (~3.3/body in settled piles); pairs at 5x bodies — well above the
     settled count for impact-phase spike headroom. Density 16 covers the
@@ -40,30 +43,54 @@ def tuned_config(builder, n_bodies: int):
     penetrations)."""
     mcap = max(512, int(n_bodies * 2.0))
     pcap = max(1024, int(n_bodies * 5.0))
-    return builder.auto_config(
-        max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=16
-    )
+    kw = dict(max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=16)
+    kw.update(overrides)
+    return builder.auto_config(**kw)
 
 
-def bench_pile(n_bodies: int, steps: int, chunks: int = 5):
+def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
+               reference_mode: bool = True):
+    """Settled-pile throughput. `reference_mode` runs the engine the way the
+    reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
+    falling/impact phase (first `steps` window, everything awake) is
+    reported separately."""
     from nudge_tpu.engine import simulate
     from nudge_tpu.scenes import scene_pile
 
     b = scene_pile(n_bodies)
-    cfg = tuned_config(b, n_bodies)
+    over = dict(sleeping=True, persistent_broadphase=True) \
+        if reference_mode else {}
+    cfg = tuned_config(b, n_bodies, **over)
     st = b.finalize(cfg)
+
+    # impact phase: first window from the initial drop, everything moving
+    t0 = time.perf_counter()
+    st, m = simulate(st, cfg, steps)
+    np.asarray(st.bodies.pos)      # hard sync (block_until_ready can lie
+    _ = time.perf_counter() - t0   # through the axon relay); compile pass
+    t0 = time.perf_counter()
+    st, m = simulate(st, cfg, steps)
+    np.asarray(st.bodies.pos)
+    impact_dt = time.perf_counter() - t0
+
     dt = None
-    for i in range(chunks + 1):
+    for i in range(chunks):
         t0 = time.perf_counter()
         st, m = simulate(st, cfg, steps)
-        np.asarray(st.bodies.pos)  # hard sync (block_until_ready can lie
-        dt = time.perf_counter() - t0  # through the axon relay)
+        np.asarray(st.bodies.pos)
+        dt = time.perf_counter() - t0
     m = jax.tree.map(np.asarray, m)
+    ke = m.kinetic_energy
     return {
         "steps_per_sec": round(steps / dt, 2),
+        "impact_steps_per_sec": round(steps / impact_dt, 2),
         "body_steps_per_sec": round(steps / dt * n_bodies),
         "contacts": int(m.contact_count[-1]),
         "max_depth": round(float(m.max_depth[-1]), 4),
+        "ke_start": round(float(ke[0]), 2),
+        "ke_end": round(float(ke[-1]), 2),
+        "awake": int(m.awake_count[-1]),
+        "sleeping_mode": reference_mode,
         "overflow": bool(m.overflow.any()),
         "spill": int(m.spill_count.max()),
     }
@@ -92,6 +119,41 @@ def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
     }
 
 
+def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
+    """Config 5 as a stacked vmap batch (scene_pile_stacked): chunked
+    vmap(step) with the XLA solver — batching amortizes dispatch overhead,
+    chunking bounds broadphase transients."""
+    from nudge_tpu.parallel.mesh import batched_simulate_chunked
+    from nudge_tpu.scenes import scene_pile, scene_pile_stacked
+
+    proto = scene_pile(bodies)
+    cfg = proto.auto_config(
+        max_box_box_pairs=max(1024, bodies * 5),
+        max_manifolds=max(512, bodies * 2),
+        solver="xla", broadphase="grid",
+        grid_table_dims=(16, 16, 16), grid_density=16,
+    )
+    batch, _ = scene_pile_stacked(n_scenes, bodies, cfg=cfg)
+    n_chunks = max(1, n_scenes // 256)
+    sim = batched_simulate_chunked(cfg, steps, n_chunks)
+    dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch, m = sim(batch)
+        np.asarray(batch.bodies.pos[0, 0])
+        dt = time.perf_counter() - t0
+    m = jax.tree.map(np.asarray, m)
+    return {
+        "scenes": n_scenes,
+        "bodies_per_scene": bodies,
+        "chunks": n_chunks,
+        "steps_per_sec": round(steps / dt, 3),
+        "body_steps_per_sec": round(steps / dt * n_scenes * bodies),
+        "contacts_mean": float(m.contact_count.mean()),
+        "overflow": bool(m.overflow.any()),
+    }
+
+
 def cpu_baseline(n_bodies: int, steps: int = 100):
     """Build (if needed) and run the C++ reference engine."""
     exe = os.path.join(_NATIVE, "nudge_ref")
@@ -100,7 +162,9 @@ def cpu_baseline(n_bodies: int, steps: int = 100):
             subprocess.run(["make", "-C", _NATIVE], check=True,
                            capture_output=True, timeout=120)
         out = subprocess.run(
-            [exe, str(n_bodies), str(steps), "400"],
+            # settle window matched to the TPU side (compile+impact+settle
+            # chunks = ~600 steps before the measured window)
+            [exe, str(n_bodies), str(steps), "600"],
             capture_output=True, timeout=1200, text=True, check=True,
         )
         return json.loads(out.stdout.strip())
@@ -110,11 +174,31 @@ def cpu_baseline(n_bodies: int, steps: int = 100):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bodies", type=int, default=2048)
+    ap.add_argument("--bodies", type=int, default=20480)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--no-reference-mode", action="store_true",
+                    help="disable sleeping + persistent broadphase")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--batch", action="store_true")
+    ap.add_argument("--vbatch", action="store_true",
+                    help="config 5: stacked vmap batch (scenes x bodies)")
+    ap.add_argument("--scenes", type=int, default=4096)
+    ap.add_argument("--scene-bodies", type=int, default=512)
+    ap.add_argument("--vbatch-steps", type=int, default=25)
     args = ap.parse_args()
+
+    if args.vbatch:
+        r = bench_scene_batch(args.scenes, args.scene_bodies,
+                              steps=args.vbatch_steps)
+        print(json.dumps({
+            "metric": (f"body-steps/sec, {args.scenes} scenes x "
+                       f"{args.scene_bodies} bodies (vmap batch)"),
+            "value": r["body_steps_per_sec"],
+            "unit": "body-steps/sec/chip",
+            "vs_baseline": None,
+            "detail": r,
+        }))
+        return
 
     if args.batch:
         r = bench_flat_batch(64, 512)
@@ -127,20 +211,22 @@ def main():
         }))
         return
 
-    r = bench_pile(args.bodies, args.steps)
+    r = bench_pile(args.bodies, args.steps,
+                   reference_mode=not args.no_reference_mode)
     base = cpu_baseline(args.bodies)
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
           if base else None)
     out = {
-        "metric": f"steps/sec on settled {args.bodies}-box pile",
+        "metric": (f"steps/sec on settled {args.bodies}-box pile "
+                   f"(sleeping+persistent broadphase)"),
         "value": r["steps_per_sec"],
         "unit": "steps/sec",
         "vs_baseline": vs,
         "detail": {"tpu": r, "cpu_baseline": base},
     }
     if args.all:
-        out["detail"]["pile_512"] = bench_pile(512, args.steps)
-        out["detail"]["flat_batch_64x512"] = bench_flat_batch(64, 512)
+        out["detail"]["pile_2048"] = bench_pile(2048, args.steps)
+        out["detail"]["vbatch_256x512"] = bench_scene_batch(256, 512)
     print(json.dumps(out))
 
 

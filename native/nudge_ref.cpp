@@ -78,15 +78,19 @@ struct World {
   std::vector<V3> half;        // box half extents
   std::vector<float> inv_mass;
   std::vector<V3> inv_inertia; // diagonal, body frame
+  std::vector<int> idle;       // sleep bookkeeping (upstream C13)
+  std::vector<char> awake;
   float dt = 1.f / 60.f;
   float gravity = -9.81f;
   float slop = 0.005f, baumgarte = 0.2f, mu = 0.5f;
+  float sleep_vel = 0.05f; int sleep_frames = 60;
   int iters = 20;
 
   int add_box(V3 h, V3 p, Quat q, float mass) {
     pos.push_back(p); quat.push_back(q);
     vel.push_back({0,0,0}); angvel.push_back({0,0,0});
     half.push_back(h);
+    idle.push_back(0); awake.push_back(1);
     if (mass > 0) {
       inv_mass.push_back(1.f / mass);
       float ix = mass/3.f*(h.y*h.y + h.z*h.z);
@@ -128,6 +132,10 @@ static void broadphase(const World& w, std::vector<std::pair<int,int>>& pairs) {
   for (size_t i = 0; i < es.size(); i++) {
     for (size_t j = i + 1; j < es.size() && es[j].lo <= es[i].hi; j++) {
       if (w.inv_mass[es[i].i] == 0 && w.inv_mass[es[j].i] == 0) continue;
+      // both sides at rest (sleeping or static): pair parked (upstream C13)
+      bool live_i = w.inv_mass[es[i].i] > 0 && w.awake[es[i].i];
+      bool live_j = w.inv_mass[es[j].i] > 0 && w.awake[es[j].i];
+      if (!live_i && !live_j) continue;
       if (es[i].mn.y > es[j].mx.y || es[j].mn.y > es[i].mx.y) continue;
       if (es[i].mn.z > es[j].mx.z || es[j].mn.z > es[i].mx.z) continue;
       int a = es[i].i, b = es[j].i;
@@ -333,7 +341,7 @@ static void step(World& w, WarmCache& cache) {
   }
 
   // gravity
-  for (int i=0;i<w.n;i++) if (w.inv_mass[i]>0) w.vel[i].y += w.gravity * w.dt;
+  for (int i=0;i<w.n;i++) if (w.inv_mass[i]>0 && w.awake[i]) w.vel[i].y += w.gravity * w.dt;
 
   // setup + warm start
   ccs.clear(); ccs.reserve(contacts.size());
@@ -575,9 +583,24 @@ static void step(World& w, WarmCache& cache) {
 
 integrate:
 
-  // integrate
+  // wake: a contact from a moving body reactivates a sleeper
+  for (auto& c : contacts) {
+    bool mov_a = w.inv_mass[c.a] > 0 && w.awake[c.a];
+    bool mov_b = w.inv_mass[c.b] > 0 && w.awake[c.b];
+    if (mov_a && w.inv_mass[c.b] > 0 && !w.awake[c.b]) { w.awake[c.b] = 1; w.idle[c.b] = 0; }
+    if (mov_b && w.inv_mass[c.a] > 0 && !w.awake[c.a]) { w.awake[c.a] = 1; w.idle[c.a] = 0; }
+  }
+
+  // integrate (+ idle counters / falling asleep, upstream C12/C13)
   for (int i=0;i<w.n;i++) {
-    if (w.inv_mass[i] <= 0) continue;
+    if (w.inv_mass[i] <= 0 || !w.awake[i]) continue;
+    float v2 = dot(w.vel[i], w.vel[i]) + dot(w.angvel[i], w.angvel[i]);
+    if (v2 < w.sleep_vel * w.sleep_vel) {
+      if (++w.idle[i] >= w.sleep_frames) {
+        w.awake[i] = 0; w.vel[i] = {0,0,0}; w.angvel[i] = {0,0,0};
+        continue;
+      }
+    } else w.idle[i] = 0;
     w.pos[i] = w.pos[i] + w.vel[i] * w.dt;
     Quat q = w.quat[i];
     Quat wq = {w.angvel[i].x, w.angvel[i].y, w.angvel[i].z, 0};

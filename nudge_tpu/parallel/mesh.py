@@ -56,6 +56,33 @@ def batched_step(cfg: SimConfig, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def batched_step_chunked(cfg: SimConfig, n_chunks: int, donate: bool = True):
+    """`vmap(step)` over the scene axis, processed in `n_chunks` sequential
+    chunks under `lax.map` — bounds the per-step transient memory (the grid
+    broadphase's candidate tables scale with live scenes) while keeping each
+    op large enough to amortize dispatch overhead. The scene count must be
+    divisible by n_chunks.
+
+    For big batches pass a cfg with solver='xla': the Pallas kernels pad
+    color segments per scene, which is the right trade single-scene but
+    multiplies under vmap; the batched XLA ops amortize dispatch overhead
+    on their own."""
+
+    def run(state_b):
+        n_scenes = state_b.bodies.pos.shape[0]
+        chunk = n_scenes // n_chunks
+        assert chunk * n_chunks == n_scenes
+
+        folded = jax.tree.map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), state_b)
+        out, metrics = jax.lax.map(
+            jax.vmap(partial(step, cfg=cfg)), folded)
+        unfold = lambda x: x.reshape((n_scenes,) + x.shape[2:])
+        return jax.tree.map(unfold, out), jax.tree.map(unfold, metrics)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def batched_simulate(cfg: SimConfig, steps: int, donate: bool = True):
     """Multi-step on-device rollout of a (possibly sharded) scene batch."""
 
@@ -64,5 +91,30 @@ def batched_simulate(cfg: SimConfig, steps: int, donate: bool = True):
             return jax.vmap(partial(step, cfg=cfg))(st)
 
         return jax.lax.scan(f, state_b, None, length=steps)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
+def batched_simulate_chunked(cfg: SimConfig, steps: int, n_chunks: int,
+                             donate: bool = True):
+    """Multi-step rollout with the chunked step (see batched_step_chunked).
+    Returns (state, final-step metrics per scene)."""
+
+    def run(state_b):
+        n_scenes = state_b.bodies.pos.shape[0]
+        chunk = n_scenes // n_chunks
+        assert chunk * n_chunks == n_scenes
+        fold = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+        unfold = lambda x: x.reshape((n_scenes,) + x.shape[2:])
+        folded = jax.tree.map(fold, state_b)
+
+        def f(st, _):
+            new, _ = jax.lax.map(jax.vmap(partial(step, cfg=cfg)), st)
+            return new, None
+
+        folded, _ = jax.lax.scan(f, folded, None, length=steps - 1)
+        new, metrics = jax.lax.map(
+            jax.vmap(partial(step, cfg=cfg)), folded)
+        return jax.tree.map(unfold, new), jax.tree.map(unfold, metrics)
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -345,3 +345,43 @@ def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
                     b.add_box((half, half, half), p, quat=q)
                 count += 1
     return b
+
+
+def scene_pile_stacked(n_scenes: int, bodies_per_scene: int,
+                       cfg: SimConfig = None, sphere_frac: float = 0.0,
+                       seed: int = 0):
+    """BASELINE config 5 as a STACKED scene batch (leading scene axis on
+    every state leaf) for `vmap(step)` / `parallel.mesh` sharding.
+
+    Unlike building `n_scenes` SceneBuilders and `make_scene_batch`-stacking
+    them (thousands of host->device uploads), this finalizes ONE template
+    pile and broadcasts it, then decorrelates the scenes with per-scene
+    position/orientation jitter on the dynamic bodies — one upload per leaf.
+    Returns (batched SimState, cfg)."""
+    import jax
+
+    b = scene_pile(bodies_per_scene, sphere_frac=sphere_frac, seed=seed)
+    if cfg is None:
+        cfg = b.auto_config()
+    st0 = b.finalize(cfg)
+    host = jax.tree.map(np.asarray, st0)
+
+    rng = np.random.default_rng(seed + 1)
+    n_dyn = b.num_bodies - 1          # body 0 is the static ground
+    pos = np.broadcast_to(host.bodies.pos,
+                          (n_scenes,) + host.bodies.pos.shape).copy()
+    pos[:, 1:1 + n_dyn, 0] += rng.uniform(-0.05, 0.05, (n_scenes, n_dyn))
+    pos[:, 1:1 + n_dyn, 2] += rng.uniform(-0.05, 0.05, (n_scenes, n_dyn))
+    quat = np.broadcast_to(host.bodies.quat,
+                           (n_scenes,) + host.bodies.quat.shape).copy()
+    dq = rng.uniform(-0.02, 0.02, (n_scenes, n_dyn, 3))
+    quat[:, 1:1 + n_dyn, 0:3] += dq
+    quat[:, 1:1 + n_dyn] /= np.linalg.norm(
+        quat[:, 1:1 + n_dyn], axis=-1, keepdims=True)
+
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(
+            np.broadcast_to(x, (n_scenes,) + x.shape)), host)
+    batch = batch.replace(bodies=batch.bodies.replace(
+        pos=jnp.asarray(pos), quat=jnp.asarray(quat)))
+    return batch, cfg

@@ -26,7 +26,11 @@ def tuned_config(builder, n_bodies, **kw):
     )
 
 
-def main(n, variant, steps=100, settle_chunks=5):
+def main(n, variant, steps=100, settle_chunks=None):
+    if settle_chunks is None:
+        # sleeping needs the pile to be quiet for sleep_frames before the
+        # settled-state timing window is representative
+        settle_chunks = 8 if variant in ("sleep", "sleep_pbp") else 5
     b = scene_pile(n)
     kw = {}
     if variant in ("sleep", "sleep_pbp"):

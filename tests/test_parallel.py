@@ -106,3 +106,17 @@ def test_scene_independence_under_sharding(mesh8):
         np.asarray(solo_rolled.bodies.pos)[0],
         rtol=0, atol=1e-6,
     )
+
+
+def test_chunked_step_matches_unchunked():
+    """batched_step_chunked must be a pure reshape of vmap(step)."""
+    from nudge_tpu.parallel.mesh import batched_step_chunked
+    from nudge_tpu.scenes import scene_pile_stacked
+
+    batch, cfg = scene_pile_stacked(4, 24, seed=5)
+    ref, mref = batched_step(cfg, donate=False)(batch)
+    out, mout = batched_step_chunked(cfg, n_chunks=2, donate=False)(batch)
+    np.testing.assert_array_equal(np.asarray(ref.bodies.pos),
+                                  np.asarray(out.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(mref.contact_count),
+                                  np.asarray(mout.contact_count))
