@@ -48,6 +48,10 @@ class SimConfig:
     solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
     solver: str = "auto"            # auto | xla | pallas | pallas_interpret (M5)
     max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
+    # reuse last frame's conflict-free coloring via a (ga,gb) join; only new
+    # manifolds run greedy rounds (settled scenes: zero rounds). Off = fresh
+    # greedy coloring every step like the reference's per-frame batching.
+    persistent_coloring: bool = True
     baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
     slop: float = 0.005             # allowed penetration before bias kicks in
     # cap on the penetration-recovery velocity: deep transient penetrations
@@ -62,6 +66,21 @@ class SimConfig:
     # removing its energy injection (round-1 fidelity finding: settled-pile
     # KE grew linearly from bias churn). β/cap reuse baumgarte/max_bias_vel.
     split_impulse: bool = True
+    # emergency decompression: under split impulse, penetration deeper than
+    # this still gets a (capped) Baumgarte velocity bias on the part beyond
+    # the threshold. Pseudo corrections carry no momentum, so a deep pile
+    # impact (20k-box drop: 26 layers raining) can out-compress the
+    # position-only recovery until box centers cross and SAT normals flip —
+    # real separating momentum must cascade the decompression there. At rest
+    # depths (~slop) this term is exactly zero, so no energy churn returns.
+    deep_bias_depth: float = 0.15
+    # include the pseudo (position-solve) normal impulse in the friction
+    # cone bound: the pseudo impulse IS contact force spent resolving
+    # penetration, and classic Baumgarte implicitly granted friction for it
+    # by inflating the real normal impulse. Without this, piles that were
+    # stable under Baumgarte lose shear strength under split impulse and
+    # avalanche (observed: 2048-box pile restless, KE bursts).
+    pseudo_friction: bool = True
     friction: float = 0.5           # default Coulomb friction if collider has none
     restitution: float = 0.0        # reference has none [MED]; kept as a knob
     warm_start: bool = True

@@ -20,7 +20,10 @@ from .ops.contacts import collide
 from .ops.integrate import advance, apply_gravity, apply_position_correction
 from .ops.sleeping import update_sleep
 from .ops.setup_kernel import setup_solve_fused
-from .ops.solver import accumulated_world_impulse, setup_constraints, solve
+from .ops.solver import (
+    accumulated_world_impulse, color_manifolds_cached, setup_constraints,
+    solve,
+)
 from .ops.solver_kernel import kernel_fits
 from .state import SimState
 
@@ -51,12 +54,19 @@ def step(state: SimState, cfg: SimConfig):
 
     contacts, bp = collide(state, cfg)
     warm = read_cached_impulses(state.cache, contacts)
+    if cfg.persistent_coloring:
+        coloring, colors = color_manifolds_cached(
+            contacts, bodies, cfg, state.colors)
+    else:
+        coloring, colors = None, state.colors
     if _use_kernels(cfg, bodies.pos.shape[0]):
         bodies, acc_world, spill, pseudo = setup_solve_fused(
             bodies, contacts, warm, cfg,
-            interpret=(cfg.solver == "pallas_interpret"))
+            interpret=(cfg.solver == "pallas_interpret"),
+            coloring=coloring)
     else:
-        con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg)
+        con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg,
+                                             coloring=coloring)
         bodies, acc, pseudo = solve(bodies, con, acc, cfg)
         acc_world = accumulated_world_impulse(con, acc)
         spill = con.spill_count
@@ -68,7 +78,7 @@ def step(state: SimState, cfg: SimConfig):
     sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
 
     new_state = state.replace(
-        bodies=bodies, cache=cache, sleep=sleep, bp=bp,
+        bodies=bodies, cache=cache, sleep=sleep, bp=bp, colors=colors,
         step_count=state.step_count + 1,
     )
 

@@ -167,6 +167,7 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
     baumgarte_over_dt = cfg.baumgarte / cfg.dt
     max_bias_vel = cfg.max_bias_vel
     slop = cfg.slop
+    deep_bias_depth = cfg.deep_bias_depth
     restitution = cfg.restitution
     warm_start = cfg.warm_start
     split = cfg.split_impulse
@@ -268,7 +269,10 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
                 baumgarte_over_dt * jnp.maximum(depth - slop, 0.0),
                 max_bias_vel)
             if split:
-                bias = jnp.zeros((1, SUB, LANES), jnp.float32)
+                bias = jnp.minimum(
+                    baumgarte_over_dt
+                    * jnp.maximum(depth - deep_bias_depth, 0.0),
+                    max_bias_vel)
                 pos_bias = baum
             else:
                 bias = baum
@@ -414,7 +418,7 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
 
 
 def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
-                      interpret: bool = False):
+                      interpret: bool = False, coloring=None):
     """Full constraint setup + iterated solve in two Pallas kernels.
 
     Replaces setup_constraints + solve for the TPU path (reference:
@@ -425,7 +429,9 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     from .solver import color_manifolds
     from .solver_kernel import solve_packed
 
-    color, _, relax, spill = color_manifolds(man, bodies, cfg)
+    if coloring is None:
+        coloring = color_manifolds(man, bodies, cfg)
+    color, _, relax, spill = coloring
     m = man.normal.shape[0]
     slot, mpad = color_slots(color, man, bodies, cfg)
 

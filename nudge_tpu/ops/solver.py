@@ -135,13 +135,19 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         _, color = jax.lax.while_loop(
             has_uncolored, round_fn, (jnp.int32(0), color)
         )
+    color, relax, spilled = _spill_relax(
+        man, color, dyn_a, dyn_b, n_bodies, cfg)
+
+    n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
+    return color, n_used, relax, jnp.sum(spilled.astype(jnp.int32))
+
+
+def _spill_relax(man, color, dyn_a, dyn_b, n_bodies, cfg):
+    """Shared spill handling: park invalid, send still-uncolored manifolds
+    to the last color with 1/degree under-relaxation (mass splitting)."""
     spilled = man.valid & (color < 0)
     color = jnp.where(spilled, cfg.max_colors - 1, color)
-    color = jnp.where(man.valid, color, cfg.max_colors)  # park invalid
-
-    # Spill under-relaxation: conflicting manifolds in the last color all
-    # update the same bodies Jacobi-style; scaling each update by
-    # 1/(body conflict degree) keeps the combined step contractive.
+    color = jnp.where(man.valid, color, cfg.max_colors)
     deg = jnp.zeros((n_bodies,), jnp.int32)
     deg = deg.at[man.body_a].add(jnp.where(spilled & dyn_a, 1, 0))
     deg = deg.at[man.body_b].add(jnp.where(spilled & dyn_b, 1, 0))
@@ -152,13 +158,96 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
     relax = jnp.where(
         spilled, 1.0 / jnp.maximum(mdeg.astype(jnp.float32), 1.0), 1.0
     )
+    return color, relax, spilled
 
+
+def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
+                           ccache):
+    """Incremental coloring (SimConfig.persistent_coloring): join last
+    frame's colors by manifold identity (ga, gb) — mutually conflict-free by
+    construction, since both manifolds coexisted conflict-free last frame —
+    then run greedy claim rounds ONLY for new manifolds, with a per-body
+    forbidden-color table so new colors never collide with cached ones.
+    Settled scenes: every manifold hits, zero rounds run.
+
+    Returns ((color, n_colors, relax, spill_count), new ColorCache)."""
+    from ..state import ColorCache
+    from .cache import _join
+
+    n_bodies = bodies.pos.shape[0]
+    dyn = bodies.inv_mass > 0.0
+    dyn_a = dyn[man.body_a]
+    dyn_b = dyn[man.body_b]
+    m = man.ga.shape[0]
+    zc = jnp.zeros((ccache.ga.shape[0],), jnp.int32)
+    zm = jnp.zeros((m,), jnp.int32)
+
+    # colors < 2^24 are f32-exact; +1 so a join miss (0.0) is unambiguous
+    payload = jnp.stack([
+        ccache.color.astype(jnp.float32) + 1.0,
+        jnp.zeros_like(zc, dtype=jnp.float32),
+        jnp.zeros_like(zc, dtype=jnp.float32),
+    ], axis=-1)
+    hit = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
+                man.ga, man.gb, zm, man.valid)[:, 0]
+    color = jnp.where(man.valid & (hit > 0.5),
+                      hit.astype(jnp.int32) - 1, -1)
+
+    # forbidden-color table from the cached assignment
+    forbid = jnp.zeros((n_bodies, cfg.max_colors), bool)
+    okc = color >= 0
+    cc = jnp.clip(color, 0, cfg.max_colors - 1)
+    forbid = forbid.at[man.body_a, cc].max(okc & dyn_a)
+    forbid = forbid.at[man.body_b, cc].max(okc & dyn_b)
+
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    def round_fn(state):
+        c, color, forbid = state
+        h = (c + 1) * jnp.uint32(0x9E3779B9).astype(jnp.int32)
+        h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B).astype(jnp.int32)
+        token = idx ^ (h & jnp.int32(0x3FFFFF))
+        uncolored = man.valid & (color < 0)
+        elig = (uncolored
+                & (~forbid[man.body_a, c] | ~dyn_a)
+                & (~forbid[man.body_b, c] | ~dyn_b))
+        token_a = jnp.where(elig & dyn_a, token, _INF_I32)
+        token_b = jnp.where(elig & dyn_b, token, _INF_I32)
+        claim = jnp.full((n_bodies,), _INF_I32, jnp.int32)
+        claim = claim.at[man.body_a].min(token_a)
+        claim = claim.at[man.body_b].min(token_b)
+        ok_a = ~dyn_a | (claim[man.body_a] == token)
+        ok_b = ~dyn_b | (claim[man.body_b] == token)
+        win = elig & ok_a & ok_b
+        color = jnp.where(win, c, color)
+        forbid = forbid.at[man.body_a, c].max(win & dyn_a)
+        forbid = forbid.at[man.body_b, c].max(win & dyn_b)
+        return c + 1, color, forbid
+
+    def has_uncolored(state):
+        c, color, _ = state
+        return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
+
+    _, color, _ = jax.lax.while_loop(
+        has_uncolored, round_fn, (jnp.int32(0), color, forbid))
+
+    color, relax, spilled = _spill_relax(
+        man, color, dyn_a, dyn_b, n_bodies, cfg)
     n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
-    return color, n_used, relax, jnp.sum(spilled.astype(jnp.int32))
+    new_cache = ColorCache(
+        ga=man.ga, gb=man.gb,
+        color=jnp.where(man.valid, color, 0),
+        # spilled manifolds carry under-relaxation, not a real slot — they
+        # retry a proper color next frame rather than pinning the spill color
+        valid=man.valid & ~spilled,
+    )
+    return ((color, n_used, relax,
+             jnp.sum(spilled.astype(jnp.int32))), new_cache)
 
 
 def setup_constraints(bodies: Bodies, man: Manifolds,
-                      warm_impulse: jnp.ndarray, cfg: SimConfig):
+                      warm_impulse: jnp.ndarray, cfg: SimConfig,
+                      coloring=None):
     """Precompute contact frames, effective masses, bias; apply warm-start
     impulses to body momentum (reference: setup_contact_constraints,
     SURVEY §3.C). `warm_impulse` is f32[M,P,3] world impulses from the cache.
@@ -195,7 +284,11 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
         cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0),
         cfg.max_bias_vel)
     if cfg.split_impulse:
-        bias = jnp.zeros_like(baum)
+        # emergency decompression above deep_bias_depth (see SimConfig)
+        bias = jnp.minimum(
+            cfg.baumgarte / cfg.dt
+            * jnp.maximum(man.depth - cfg.deep_bias_depth, 0.0),
+            cfg.max_bias_vel)
         pos_bias = baum
     else:
         bias = baum
@@ -208,7 +301,9 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
         vn0 = dot(vrel0, n[:, None])
         bias = jnp.maximum(bias, cfg.restitution * jnp.maximum(-vn0 - 1.0, 0.0))
 
-    color, n_colors, relax, spill = color_manifolds(man, bodies, cfg)
+    if coloring is None:
+        coloring = color_manifolds(man, bodies, cfg)
+    color, n_colors, relax, spill = coloring
 
     con = ContactConstraints(
         body_a=ba, body_b=bb_, n=n, t1=t1, t2=t2, ra=ra, rb=rb,
@@ -266,18 +361,22 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
     with velocities kept in registers.
 
     Under cfg.split_impulse a pseudo-velocity normal solve runs in the same
-    sweeps against `pos_bias` (Box2D-style, no accumulator: each push is
-    clamped >= 0 and the gathered pseudo velocity itself damps further
-    pushes); the pseudo result moves positions only (engine.step applies
-    it) and never feeds the cache or momentum.
+    sweeps against `pos_bias`, with its own ACCUMULATED pseudo impulses
+    (clamped >= 0 like the real normal impulses — without the accumulator,
+    conflicting pushes cannot be pulled back within a step and the
+    per-step overshoot becomes a gravity-powered energy pump on deep
+    piles: overshoot -> lift -> fall, observed as KE growth at 2048+).
+    The pseudo result moves positions only (engine.step applies it) and
+    never feeds the cache or momentum.
 
     Returns (bodies, acc, (pseudo_vel, pseudo_angvel))."""
     acc_n, acc_t1, acc_t2 = acc
     n_colors = jnp.maximum(con.n_colors, 1)
     split = cfg.split_impulse
+    pfric = split and cfg.pseudo_friction
 
     def pass_fn(i, carry):
-        vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2 = carry
+        vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, pacc = carry
         c = jnp.mod(i, n_colors)
         mask = con.valid & (con.color == c)
         relax = jnp.where(mask, con.relax, 0.0)
@@ -303,7 +402,8 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
             new_n = jnp.maximum(acc_n[:, p] + dln, 0.0)
             dln = pm * (new_n - acc_n[:, p])
 
-            bound = con.mu * (acc_n[:, p] + dln)
+            bound = con.mu * (acc_n[:, p] + dln
+                              + (pacc[:, p] if pfric else 0.0))
             vt1 = dot(vrel, con.t1)
             new_t1 = jnp.clip(acc_t1[:, p] - vt1 * con.mt1[:, p], -bound, bound)
             dlt1 = pm * (new_t1 - acc_t1[:, p])
@@ -329,8 +429,10 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
                 pvrel = (pvb + cross(pwb, con.rb[:, p])
                          - pva - cross(pwa, con.ra[:, p]))
                 pvn = dot(pvrel, con.n)
-                dlp = pm * jnp.maximum(
-                    (con.pos_bias[:, p] - pvn) * con.mn[:, p], 0.0)
+                dlp = (con.pos_bias[:, p] - pvn) * con.mn[:, p]
+                new_p = jnp.maximum(pacc[:, p] + dlp, 0.0)
+                dlp = pm * (new_p - pacc[:, p])
+                pacc = pacc.at[:, p].add(dlp)
                 Pp = dlp[:, None] * con.n
                 pva = pva - Pp * con.im_a[:, None]
                 pvb = pvb + Pp * con.im_b[:, None]
@@ -358,11 +460,12 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
                 jnp.where(mcol, pwa - pang[con.body_a], 0.0))
             pang = pang.at[con.body_b].add(
                 jnp.where(mcol, pwb - pang[con.body_b], 0.0))
-        return (vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2)
+        return (vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, pacc)
 
     zero_v = jnp.zeros_like(bodies.vel)
-    init = (bodies.vel, bodies.angvel, zero_v, zero_v, acc_n, acc_t1, acc_t2)
-    vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
+    init = (bodies.vel, bodies.angvel, zero_v, zero_v, acc_n, acc_t1, acc_t2,
+            jnp.zeros_like(acc_n))
+    vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, _ = jax.lax.fori_loop(
         0, cfg.solver_iters * n_colors, pass_fn, init
     )
     return (bodies.replace(vel=vel, angvel=angvel),

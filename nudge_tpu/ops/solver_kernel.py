@@ -305,17 +305,22 @@ def _cross3(a, b):
 
 
 def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
-                  velw_out, acc_out, gA, gB, *, w_words, split):
+                  velw_out, acc_out, gA, gB, pacc, *, w_words, split,
+                  pfric):
     i = pl.program_id(0)
     t = pl.program_id(1)
 
     # seed the resident outputs from the inputs on the first grid step; with
     # input_output_aliases this is a redundant same-value copy, without it
-    # (alias=False, see solve_packed) it is the required initialization
+    # (alias=False, see solve_packed) it is the required initialization.
+    # pacc (pseudo-impulse accumulators, split impulse) is VMEM scratch —
+    # it persists across grid steps and never leaves the kernel.
     @pl.when((i == 0) & (t == 0))
     def _init():
         velw_out[:, :] = velw_ref[:, :]
         acc_out[:, :] = acc_ref[:, :]
+        if split:
+            pacc[:, :] = jnp.zeros_like(pacc)
 
     bt0 = tmin_ref[t]
     bt1 = tmax_ref[t]
@@ -379,6 +384,8 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
         relax = con_ref[10:11, :, :] * live
 
         acc_blk = acc_out[:, cols_g]                       # [96,128]
+        if split:
+            pacc_blk = pacc[:, cols_g]                     # [32,128]
 
         for p in range(CONTACT_POINTS):
             b0 = _PT0 + _PT * p
@@ -405,7 +412,11 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
             dln = (bias - vn) * mn
             dln = relax * (jnp.maximum(an + dln, 0.0) - an)
 
-            bound = mu * (an + dln)
+            if pfric:
+                pp_b = pacc_blk[p * SUB:(p + 1) * SUB].reshape(1, SUB, LANES)
+                bound = mu * (an + dln + pp_b)
+            else:
+                bound = mu * (an + dln)
             vt1 = jnp.sum(vrel * t1, axis=0, keepdims=True)
             dlt1 = relax * (jnp.clip(at1 - vt1 * mt1, -bound, bound) - at1)
             vt2 = jnp.sum(vrel * t2, axis=0, keepdims=True)
@@ -428,7 +439,11 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
                 pbias = con_ref[_PB0 + p:_PB0 + p + 1, :, :]
                 pvrel = pvb + _cross3(pwb, rb) - pva - _cross3(pwa, ra)
                 pvn = jnp.sum(pvrel * cn, axis=0, keepdims=True)
-                dlp = relax * jnp.maximum((pbias - pvn) * mn, 0.0)
+                pp = pacc_blk[p * SUB:(p + 1) * SUB].reshape(1, SUB, LANES)
+                dlp = (pbias - pvn) * mn
+                dlp = relax * (jnp.maximum(pp + dlp, 0.0) - pp)
+                pacc[p * SUB:(p + 1) * SUB, cols_g] = (
+                    (pp + dlp).reshape(SUB, LANES))
                 Pp = dlp * cn
                 pva = pva - Pp * ima
                 pvb = pvb + Pp * imb
@@ -522,10 +537,13 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
         scratch_shapes=[
             pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather A
             pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather B
+            # pseudo-impulse accumulators (split impulse), resident scratch
+            pltpu.VMEM((4 * SUB, n_groups * LANES), jnp.float32),
         ],
     )
     velw_out, acc_out = pl.pallas_call(
-        partial(_solve_kernel, w_words=w_words, split=cfg.split_impulse),
+        partial(_solve_kernel, w_words=w_words, split=cfg.split_impulse,
+                pfric=cfg.split_impulse and cfg.pseudo_friction),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(velw.shape, jnp.float32),

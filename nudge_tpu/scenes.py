@@ -15,6 +15,7 @@ from .config import SimConfig
 from .mathx import quat_identity
 from .ops.persistent_bp import empty_bp_cache
 from .state import (
+    empty_color_cache,
     Bodies, Boxes, ContactCache, SimState, SleepState, Spheres,
 )
 
@@ -219,6 +220,7 @@ class SceneBuilder:
                 pairs=jnp.full((cfg.max_manifolds, 2), -1, jnp.int32),
             ),
             bp=empty_bp_cache(cfg, cfg.max_bodies),
+            colors=empty_color_cache(cfg),
             connections=jnp.asarray(conn),
             step_count=jnp.zeros((), jnp.int32),
         )

@@ -109,6 +109,20 @@ class SleepState:
 
 
 @struct.dataclass
+class ColorCache:
+    """Persistent manifold coloring keyed by (gid_a, gid_b): the reference
+    rebuilds its conflict-free batches every frame (SURVEY C10); settled
+    scenes have a static contact graph, so last frame's coloring is reused
+    via a sort-merge join and only NEW manifolds run greedy rounds
+    (ops/solver.color_manifolds_cached)."""
+
+    ga: jnp.ndarray        # i32[M]
+    gb: jnp.ndarray        # i32[M]
+    color: jnp.ndarray     # i32[M]
+    valid: jnp.ndarray     # bool[M]
+
+
+@struct.dataclass
 class SimState:
     bodies: Bodies
     boxes: Boxes
@@ -116,6 +130,7 @@ class SimState:
     cache: ContactCache
     sleep: SleepState
     bp: "BPCache"             # persistent broadphase cache (ops/persistent_bp)
+    colors: ColorCache        # persistent manifold coloring
     connections: jnp.ndarray  # i32[K,2] suppressed body pairs (SURVEY C14); -1 pad
     step_count: jnp.ndarray   # i32 scalar
 
@@ -164,6 +179,17 @@ def empty_state(cfg: SimConfig) -> SimState:
             pairs=jnp.full((cfg.max_manifolds, 2), -1, i32),
         ),
         bp=empty_bp_cache(cfg, n),
+        colors=empty_color_cache(cfg),
         connections=jnp.full((k, 2), -1, i32),
         step_count=jnp.zeros((), i32),
+    )
+
+
+def empty_color_cache(cfg: SimConfig) -> ColorCache:
+    m = cfg.max_manifolds
+    return ColorCache(
+        ga=jnp.zeros((m,), jnp.int32),
+        gb=jnp.zeros((m,), jnp.int32),
+        color=jnp.zeros((m,), jnp.int32),
+        valid=jnp.zeros((m,), bool),
     )

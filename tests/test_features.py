@@ -69,3 +69,31 @@ def test_coloring_conflict_free_invariant():
     con, _, _ = setup_constraints(bodies, man, warm, cfg)
     if int(con.spill_count) == 0:
         assert int(coloring_conflicts(con, st.bodies)) == 0
+
+
+def test_persistent_coloring_hits_reuse_colors():
+    """Second coloring of the same contact set must return the cached colors
+    verbatim (all joins hit, zero greedy rounds) and stay conflict-free."""
+    import jax
+    from nudge_tpu.engine import simulate
+    from nudge_tpu.ops.contacts import collide
+    from nudge_tpu.ops.solver import color_manifolds_cached
+    from nudge_tpu.scenes import scene_pile
+    from nudge_tpu.state import empty_color_cache
+    from nudge_tpu.utils.debug import coloring_conflicts
+
+    b = scene_pile(32, seed=4)
+    cfg = b.auto_config()
+    st, _ = simulate(b.finalize(cfg), cfg, 60)
+    man, _ = jax.jit(lambda s: collide(s, cfg))(st)
+
+    cold, cache1 = color_manifolds_cached(
+        man, st.bodies, cfg, empty_color_cache(cfg))
+    warm, cache2 = color_manifolds_cached(man, st.bodies, cfg, cache1)
+
+    np.testing.assert_array_equal(np.asarray(cold[0]), np.asarray(warm[0]))
+    assert int(cold[3]) == 0  # no spill on a small settled pile
+    from types import SimpleNamespace
+    con = SimpleNamespace(color=warm[0], body_a=man.body_a,
+                          body_b=man.body_b, valid=man.valid)
+    assert int(coloring_conflicts(con, st.bodies)) == 0

@@ -13,10 +13,10 @@ from nudge_tpu.engine import simulate
 from nudge_tpu.scenes import SceneBuilder
 
 
-def drop_overlapping(split):
+def drop_overlapping(split, overlap=0.12):
     b = SceneBuilder()
     b.add_static_box((10, 0.5, 10), (0, -0.5, 0))
-    b.add_box((0.5, 0.5, 0.5), (0, 0.3, 0))   # 0.2 deep into the ground
+    b.add_box((0.5, 0.5, 0.5), (0, 0.5 - overlap, 0))
     cfg = b.auto_config(split_impulse=split)
     st, m = simulate(b.finalize(cfg), cfg, 120)
     return (np.asarray(st.bodies.pos)[1],
@@ -25,6 +25,7 @@ def drop_overlapping(split):
 
 
 def test_depenetration_without_momentum():
+    # overlap below deep_bias_depth: pure position-level recovery
     pos, ke, depth = drop_overlapping(split=True)
     # recovered to rest height (within slop) ...
     assert abs(pos[1] - 0.495) < 0.01
@@ -41,6 +42,16 @@ def test_baumgarte_pops_for_contrast():
     pos, ke, depth = drop_overlapping(split=False)
     assert ke.max() > 0.2       # bias velocity turned into real energy
     assert abs(pos[1] - 0.495) < 0.05   # it still ends up resting
+
+
+def test_deep_overlap_gets_emergency_bias():
+    """Beyond deep_bias_depth the emergency Baumgarte term must engage
+    (deep-pile impacts need real separating momentum — see SimConfig) and
+    still recover to rest."""
+    pos, ke, depth = drop_overlapping(split=True, overlap=0.3)
+    assert ke.max() > 0.05      # some momentum used for decompression
+    assert abs(pos[1] - 0.495) < 0.02
+    assert depth[-1] < 0.01
 
 
 @pytest.mark.slow
