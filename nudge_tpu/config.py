@@ -92,6 +92,10 @@ class SimConfig:
     grid_density: int = 24          # colliders read per neighbor cell (M4)
     grid_table_dims: Tuple[int, int, int] = (128, 32, 128)  # dense cell table
     max_big_colliders: int = 16     # oversized colliders (dense side channel)
+    # capacity of the compacted candidate list the grid expands stencil
+    # windows into (0 => 4x total_pairs). Candidates are pre-AABB-test pair
+    # slots; overflow is flagged, never silently dropped.
+    grid_expand_cap: int = 0
     persistent_broadphase: bool = False  # amortize pair gen across steps (opt-in)
     rebuild_margin: float = 0.1     # speculative AABB fattening at rebuild
 

@@ -111,6 +111,17 @@ def narrowphase_all(state: SimState, wc: WorldColliders, bb: CandidatePairs,
             point_valid=man["valid"] & bb.valid[:, None],
         ))
 
+    n_sph_pairs = bs.a.shape[0] + ss.a.shape[0]
+    n_colliders = bx.half.shape[0] + sp.radius.shape[0]  # unified table cols
+    if n_sph_pairs > 0 and _use_np_kernel(cfg, n_colliders, n_sph_pairs):
+        from .narrowphase_kernel import pairs_1pt_pallas
+
+        parts.append(pairs_1pt_pallas(
+            bx, sp, wc, bs, ss, cfg,
+            interpret=(cfg.solver == "pallas_interpret")))
+        bs = bs.replace(a=bs.a[:0], b=bs.b[:0], valid=bs.valid[:0])
+        ss = ss.replace(a=ss.a[:0], b=ss.b[:0], valid=ss.valid[:0])
+
     if bs.a.shape[0] > 0:
         sph_gid = cfg.max_boxes + jnp.arange(sp.radius.shape[0], dtype=jnp.int32)
         man = jax.vmap(nps.box_sphere)(

@@ -139,15 +139,41 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     qlo = start_tbl[nlin]
     qhi = end_tbl[nlin]
-    density_overflow = jnp.any((qhi - qlo) > cfg.grid_density)
+    # empty cells read (start=g, end=0) from the scatter inits => clamp at 0
+    cnt_raw = jnp.where(in_grid[:, None],
+                        jnp.maximum(qhi - qlo, 0), 0)            # [G,14]
+    density_overflow = jnp.any(cnt_raw > cfg.grid_density)
+    cnt = jnp.minimum(cnt_raw, cfg.grid_density)
 
-    k = jnp.arange(cfg.grid_density)
-    pos = jnp.minimum(qlo[..., None] + k, g - 1)                 # [G,14,K]
-    live = ((qlo[..., None] + k) < qhi[..., None]) & in_grid[:, None, None]
+    # --- two-stage expansion: compact flat candidate list ------------------
+    # Instead of materializing every padded stencil slot ([G,14,K] ~ 4.6M at
+    # 20480, ~95% dead), expand only the LIVE (collider, stencil-entry)
+    # candidates into a flat [cap] list: exclusive-prefix offsets place each
+    # non-empty segment, a scatter + running-max recovers the segment id per
+    # output slot, and ONE [cap,10] gather reads the candidate data. Cuts
+    # broadphase HBM traffic ~10x (the former dominant grid cost).
+    cnt_flat = cnt.reshape(-1)                                   # [S=G*14]
+    qlo_flat = qlo.reshape(-1)
+    offs = jnp.cumsum(cnt_flat)
+    total_cand = offs[-1]
+    off0 = offs - cnt_flat                                       # exclusive
+    cap = cfg.grid_expand_cap or 4 * cfg.total_pairs
+    s_ids = jnp.arange(cnt_flat.shape[0], dtype=jnp.int32)
+    # non-empty segments have unique off0 (each advances the prefix)
+    mark = jnp.full((cap,), -1, jnp.int32)
+    mark = mark.at[jnp.where(cnt_flat > 0, off0, cap)].max(
+        s_ids, mode="drop")
+    seg = jax.lax.associative_scan(jnp.maximum, mark)            # [cap]
+    seg_c = jnp.maximum(seg, 0)
+    t_slot = jnp.arange(cap, dtype=jnp.int32)
+    live = (t_slot < total_cand) & (seg >= 0)
+    pos = jnp.clip(qlo_flat[seg_c] + (t_slot - off0[seg_c]), 0, g - 1)
+
+    i = jnp.minimum(seg_c // off.shape[0], g - 1)                # querier gid
+    same_cell = (seg_c % off.shape[0]) == 0                      # offset 0 first
 
     # ONE wide gather for all per-candidate data: a packed f32 table in
-    # sorted order — lo(3), hi(3), id, body, moving, valid — replaces five
-    # separate 460k-element gathers (the dominant grid cost).
+    # sorted order — lo(3), hi(3), id, body, moving, valid.
     moving = ((state.bodies.inv_mass > 0.0) & state.sleep.awake)[body]
     table = jnp.concatenate([
         lo, hi,
@@ -156,20 +182,17 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         moving[:, None].astype(jnp.float32),
         valid[:, None].astype(jnp.float32),
     ], axis=-1)[order]                                           # [G,10] sorted
-    cand = table[pos]                                            # [G,14,K,10]
+    cand = table[pos]                                            # [cap,10]
     j_lo, j_hi = cand[..., 0:3], cand[..., 3:6]
     j_id = cand[..., 6].astype(jnp.int32)
     j_body = cand[..., 7].astype(jnp.int32)
     j_moving = cand[..., 8] > 0.5
     j_valid = cand[..., 9] > 0.5
 
-    i = gid[:, None, None]
-    i_body = body[:, None, None]
-    i_moving = moving[:, None, None]
-    same_cell = (jnp.sum(jnp.abs(off), axis=-1) == 0)[None, :, None]
+    i_body = body[i]
+    i_moving = moving[i]
     keep = live & j_valid & jnp.where(same_cell, j_id > i, j_id != i)
-    keep &= jnp.all((lo[:, None, None, :] <= j_hi)
-                    & (j_lo <= hi[:, None, None, :]), axis=-1)
+    keep &= jnp.all((lo[i] <= j_hi) & (j_lo <= hi[i]), axis=-1)
     keep &= i_body != j_body
     keep &= i_moving | j_moving
     if state.connections.shape[0] > 0:
@@ -177,6 +200,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
         keep &= ~_connection_mask(i_body, j_body, state.connections)
     j = j_id
+    expand_overflow = total_cand > cap
 
     # --- big colliders: dense side channel against everyone ---
     big_cap = cfg.max_big_colliders
@@ -195,17 +219,15 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
 
     # --- compact all candidates once, then split by class ---
     # canonical order a < b (cross-cell candidates may come out j < i)
-    g_i = jnp.broadcast_to(i, keep.shape).reshape(-1)
-    g_j = j.reshape(-1)
-    flat_a = jnp.concatenate([jnp.minimum(g_i, g_j), b_a.reshape(-1)])
-    flat_b = jnp.concatenate([jnp.maximum(g_i, g_j), b_b.reshape(-1)])
-    flat_keep = jnp.concatenate([keep.reshape(-1), b_keep.reshape(-1)])
+    flat_a = jnp.concatenate([jnp.minimum(i, j), b_a.reshape(-1)])
+    flat_b = jnp.concatenate([jnp.maximum(i, j), b_b.reshape(-1)])
+    flat_keep = jnp.concatenate([keep, b_keep.reshape(-1)])
 
-    cap = cfg.total_pairs
-    sel, sel_valid, total = compact_mask(flat_keep, cap)
+    pcap = cfg.total_pairs
+    sel, sel_valid, total = compact_mask(flat_keep, pcap)
     a_s = jnp.where(sel_valid, flat_a[sel], 0)
     b_s = jnp.where(sel_valid, flat_b[sel], 0)
-    pair_overflow = (total > cap) | density_overflow
+    pair_overflow = (total > pcap) | density_overflow | expand_overflow
 
     nb = cfg.max_boxes
     is_bb = sel_valid & (b_s < nb)

@@ -556,3 +556,234 @@ def box_box_pallas(bx, wc, bb, cfg: SimConfig, interpret: bool = False):
         feat=out[22:26, :p].T.astype(jnp.int32),
         point_valid=out[26:30, :p].T > 0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-point narrowphase kernel: box-sphere + sphere-sphere in one call
+# (SURVEY C7; removes the last vmapped-jnp narrowphase dispatches at scale —
+# the jnp path costs ~100 op dispatches/step regardless of pair count)
+# ---------------------------------------------------------------------------
+
+S_OUT_ROWS = 16
+# rows: 0:3 normal | 3 friction | 4 body_a | 5 body_b | 6:9 pos | 9 depth |
+#       10 valid | 11:16 pad
+
+
+def _box_sphere_rows(ha, qa, pa, rb, pb):
+    """narrowphase.box_sphere as [1,128]-row math. Returns
+    (normal(3), pos(3), depth) — world frame, A(box)->B(sphere)."""
+    Ra = _quat_to_mat_rows(*qa)
+    d = tuple(pb[i] - pa[i] for i in range(3))
+    c = tuple(sum(Ra[k][i] * d[k] for k in range(3)) for i in range(3))
+    cl = tuple(jnp.minimum(jnp.maximum(c[i], -ha[i]), ha[i])
+               for i in range(3))
+    delta = tuple(c[i] - cl[i] for i in range(3))
+    d2 = _dot_v(delta, delta)
+    outside = d2 > 1e-12
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+    n_out = tuple(delta[i] / dist for i in range(3))
+    depth_out = rb - dist
+
+    # center inside the box: push out the least-penetrated face
+    face_pen = [ha[i] - jnp.abs(c[i]) for i in range(3)]
+    k, _ = _argmax_rows([-face_pen[i] for i in range(3)])
+    c_k = _sel3(k, *c)
+    sgn = jnp.where(c_k >= 0.0, 1.0, -1.0)
+    n_in = tuple((k == i) * sgn for i in range(3))
+    depth_in = rb + _sel3(k, *face_pen)
+    pos_in = tuple(jnp.where(k == i, sgn * ha[i], c[i]) for i in range(3))
+
+    n_loc = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+    pos_loc = tuple(jnp.where(outside, cl[i], pos_in[i]) for i in range(3))
+    depth = jnp.where(outside, depth_out, depth_in)
+
+    pw = _matvec(Ra, pos_loc)
+    nw = _matvec(Ra, n_loc)
+    return nw, tuple(pw[i] + pa[i] for i in range(3)), depth
+
+
+def _sphere_sphere_rows(ra, pa, rb, pb):
+    """narrowphase.sphere_sphere as row math."""
+    d = tuple(pb[i] - pa[i] for i in range(3))
+    d2 = _dot_v(d, d)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    deg = d2 <= 1e-12
+    up = (0.0, 1.0, 0.0)
+    n = tuple(jnp.where(deg, up[i], d[i] / dist) for i in range(3))
+    depth = ra + rb - dist
+    pos = tuple(pa[i] + n[i] * (ra - 0.5 * depth) for i in range(3))
+    return n, pos, depth
+
+
+def _make_1pt_kernel(w_words: int):
+    def kernel(tmin_ref, tmax_ref, bits_ref, tbl_ref, pair_ref, out_ref,
+               gA, gB):
+        t = pl.program_id(0)
+        brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
+                                        ).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+
+        ia = pair_ref[0:1, :]
+        ib = pair_ref[1:2, :]
+        pair_live = pair_ref[2:3, :] > 0.5
+
+        def member(bt):
+            word = bits_ref[t * w_words + bt // WORD_BITS]
+            return ((word >> (bt % WORD_BITS)) & 1) > 0
+
+        gA[:, :] = jnp.zeros((TBL_ROWS, LANES), jnp.float32)
+        gB[:, :] = jnp.zeros((TBL_ROWS, LANES), jnp.float32)
+
+        def gather_bt(bt, _):
+            @pl.when(member(bt))
+            def _():
+                cols = pl.ds(bt * LANES, LANES)
+                tbl = tbl_ref[:, cols]
+                oha = (brow + bt * LANES == ia).astype(jnp.float32)
+                ohb = (brow + bt * LANES == ib).astype(jnp.float32)
+                gA[:, :] = gA[:, :] + jnp.dot(
+                    tbl, oha, preferred_element_type=jnp.float32,
+                    precision=hp)
+                gB[:, :] = gB[:, :] + jnp.dot(
+                    tbl, ohb, preferred_element_type=jnp.float32,
+                    precision=hp)
+            return 0
+
+        jax.lax.fori_loop(tmin_ref[t], tmax_ref[t], gather_bt, 0)
+        A = gA[:, :]
+        B = gB[:, :]
+
+        def vec(X, r0, n):
+            return tuple(X[r0 + i:r0 + i + 1, :] for i in range(n))
+
+        ha, qa, pa = vec(A, 0, 3), vec(A, 3, 4), vec(A, 7, 3)
+        pb = vec(B, 7, 3)
+        ra = A[0:1, :]
+        rb = B[0:1, :]
+        a_is_sphere = A[12:13, :] > 0.5
+
+        n_bs, p_bs, d_bs = _box_sphere_rows(ha, qa, pa, rb, pb)
+        n_ss, p_ss, d_ss = _sphere_sphere_rows(ra, pa, rb, pb)
+
+        normal = tuple(jnp.where(a_is_sphere, n_ss[i], n_bs[i])
+                       for i in range(3))
+        pos = tuple(jnp.where(a_is_sphere, p_ss[i], p_bs[i])
+                    for i in range(3))
+        depth = jnp.where(a_is_sphere, d_ss, d_bs)
+
+        fr = jnp.sqrt(jnp.maximum(A[10:11, :] * B[10:11, :], 0.0))
+        live_f = pair_live.astype(jnp.float32)
+        valid = jnp.where(depth > 0.0, 1.0, 0.0) * live_f
+
+        rows = [normal[0], normal[1], normal[2], fr,
+                A[11:12, :], B[11:12, :],
+                pos[0], pos[1], pos[2], depth, valid]
+        rows += [jnp.zeros((1, LANES), jnp.float32)] * (S_OUT_ROWS - len(rows))
+        out_ref[:, :] = jnp.concatenate(rows, axis=0) * live_f
+
+    return kernel
+
+
+def unified_collider_table(bx, sp, wc, cfg: SimConfig):
+    """[TBL_ROWS, ncolpad] table over global collider ids (boxes then
+    spheres). Sphere columns: radius in row 0, identity quat, is_sphere=1."""
+    nb = bx.half.shape[0]
+    ns = sp.radius.shape[0]
+    ncolpad = _rup(max(nb + ns, LANES), LANES)
+    tbl = jnp.zeros((TBL_ROWS, ncolpad), jnp.float32)
+    tbl = tbl.at[0:3, :nb].set(bx.half.T)
+    tbl = tbl.at[3:7, :nb].set(wc.box_quat.T)
+    tbl = tbl.at[7:10, :nb].set(wc.box_pos.T)
+    tbl = tbl.at[10, :nb].set(bx.friction)
+    tbl = tbl.at[11, :nb].set(bx.body.astype(jnp.float32))
+    tbl = tbl.at[0, nb:nb + ns].set(sp.radius)
+    tbl = tbl.at[6, nb:nb + ns].set(1.0)            # identity quat (w)
+    tbl = tbl.at[7:10, nb:nb + ns].set(wc.sph_pos.T)
+    tbl = tbl.at[10, nb:nb + ns].set(sp.friction)
+    tbl = tbl.at[11, nb:nb + ns].set(sp.body.astype(jnp.float32))
+    tbl = tbl.at[12, nb:nb + ns].set(1.0)
+    return tbl, ncolpad
+
+
+def pairs_1pt_pallas(bx, sp, wc, bs, ss, cfg: SimConfig,
+                     interpret: bool = False):
+    """Box-sphere and sphere-sphere narrowphase in one Pallas call over the
+    concatenated candidate streams. Pair ids are GLOBAL collider ids (sphere
+    gid = max_boxes + sphere index), matching the unified table columns.
+    Returns one slot dict (same fields as the jnp parts, P-slot padded)."""
+    nb = bx.half.shape[0]
+    tbl, ncolpad = unified_collider_table(bx, sp, wc, cfg)
+
+    a_all = jnp.concatenate([bs.a, nb + ss.a]).astype(jnp.int32)
+    b_all = nb + jnp.concatenate([bs.b, ss.b]).astype(jnp.int32)
+    live_all = jnp.concatenate([bs.valid, ss.valid])
+    p = a_all.shape[0]
+    ppad = _rup(max(p, LANES), LANES)
+
+    def pad(x, fill):
+        return jnp.full((ppad,), fill, x.dtype).at[:p].set(x)
+
+    a_p = pad(a_all, 0)
+    b_p = pad(b_all, 0)
+    live_p = pad(live_all, False)
+    pair = jnp.zeros((8, ppad), jnp.float32)
+    pair = pair.at[0].set(jnp.where(live_p, a_p, _IDX_SENT
+                                    ).astype(jnp.float32))
+    pair = pair.at[1].set(jnp.where(live_p, b_p, _IDX_SENT
+                                    ).astype(jnp.float32))
+    pair = pair.at[2].set(live_p.astype(jnp.float32))
+
+    ones = jnp.ones((ppad,), bool)
+    tmin, tmax, bits = dynamic_windows(
+        jnp.arange(ppad, dtype=jnp.int32), live_p, a_p, b_p, ones, ones,
+        ppad, ncolpad // LANES, group=LANES)
+
+    n_tiles = ppad // LANES
+    w_words = window_words(ncolpad // LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TBL_ROWS, ncolpad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S_OUT_ROWS, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TBL_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TBL_ROWS, LANES), jnp.float32),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _make_1pt_kernel(w_words),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S_OUT_ROWS, ppad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tmin, tmax, bits, tbl, pair)
+
+    from .narrowphase import BOX_BOX_POINTS as P
+    pos = jnp.zeros((p, P, 3), jnp.float32).at[:, 0].set(out[6:9, :p].T)
+    depth = jnp.zeros((p, P), jnp.float32).at[:, 0].set(out[9, :p])
+    pv = jnp.zeros((p, P), bool).at[:, 0].set(out[10, :p] > 0.5)
+    return dict(
+        body_a=out[4, :p].astype(jnp.int32),
+        body_b=out[5, :p].astype(jnp.int32),
+        # box arrays are capacity-sized (nb == cfg.max_boxes), so table
+        # columns coincide with the global gid space used by the cache
+        ga=a_all,
+        gb=b_all,
+        normal=out[0:3, :p].T,
+        friction=out[3, :p],
+        pos=pos, depth=depth,
+        feat=jnp.zeros((p, P), jnp.int32),
+        point_valid=pv,
+    )
