@@ -49,25 +49,31 @@ def collide(state: SimState, cfg: SimConfig):
 
 
 def read_cached_impulses(cache: ContactCache, contacts: Manifolds):
-    """Warm-start impulses per contact point, f32[M,P,3] (zeros on miss)."""
+    """Warm-start payload per contact point: (impulses f32[M,P,3],
+    pseudo f32[M,P]) — zeros on miss. The pseudo component warm-starts the
+    split-impulse position solve (not in the reference, which has no
+    position solve; pass it to setup_contact_constraints as pwarm)."""
     return _cache.read_cached_impulses(cache, contacts)
 
 
 def setup_contact_constraints(bodies: Bodies, contacts: Manifolds,
-                              impulses, cfg: SimConfig):
+                              impulses, cfg: SimConfig, pwarm=None):
     """Precompute constraint data, apply warm-start impulses. Returns
     (ContactConstraints, Bodies, accumulators) — the accumulators play the
     role of the impulse state inside the reference's opaque
     ContactConstraintData."""
-    return _solver.setup_constraints(bodies, contacts, impulses, cfg)
+    return _solver.setup_constraints(bodies, contacts, impulses, cfg,
+                                     pwarm=pwarm)
 
 
 def apply_impulses(constraints, bodies: Bodies, accumulators,
                    cfg: SimConfig):
     """Run the iterated impulse solve (the reference calls this in a loop;
     here `cfg.solver_iters` sweeps run inside). Returns (Bodies, acc,
-    (pseudo_vel, pseudo_angvel)) — the pseudo pair is the split-impulse
-    position correction, applied by integrate.apply_position_correction."""
+    (pseudo_vel, pseudo_angvel), pseudo_acc) — the pseudo pair is the
+    split-impulse position correction, applied by
+    integrate.apply_position_correction; pseudo_acc feeds
+    write_cached_impulses."""
     return _solver.solve(bodies, constraints, accumulators, cfg)
 
 
@@ -76,9 +82,10 @@ def update_cached_impulses(constraints, accumulators):
     return _solver.accumulated_world_impulse(constraints, accumulators)
 
 
-def write_cached_impulses(contacts: Manifolds, impulse_world) -> ContactCache:
+def write_cached_impulses(contacts: Manifolds, impulse_world,
+                          pseudo_acc=None) -> ContactCache:
     """New warm-start cache from this frame's contacts."""
-    return _cache.write_cached_impulses(contacts, impulse_world)
+    return _cache.write_cached_impulses(contacts, impulse_world, pseudo_acc)
 
 
 def advance(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:

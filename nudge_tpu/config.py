@@ -93,8 +93,12 @@ class SimConfig:
     grid_table_dims: Tuple[int, int, int] = (128, 32, 128)  # dense cell table
     max_big_colliders: int = 16     # oversized colliders (dense side channel)
     # capacity of the compacted candidate list the grid expands stencil
-    # windows into (0 => 4x total_pairs). Candidates are pre-AABB-test pair
-    # slots; overflow is flagged, never silently dropped.
+    # windows into (0 => 16x total_pairs ~= 80 slots/body under the standard
+    # 5x-bodies pair tuning; measured settled piles use 13-18/body and
+    # deepen with pile height). Candidates are pre-AABB-test pair slots;
+    # overflow is flagged AND drops contacts, so headroom matters: a
+    # 2048-pile sat at 0.5 KE for 500 steps, crossed a 20/body cap as it
+    # compacted, and collapsed through itself within 100 steps.
     grid_expand_cap: int = 0
     persistent_broadphase: bool = False  # amortize pair gen across steps (opt-in)
     rebuild_margin: float = 0.1     # speculative AABB fattening at rebuild

@@ -53,24 +53,24 @@ def step(state: SimState, cfg: SimConfig):
     bodies = apply_gravity(state.bodies, state.sleep, cfg)
 
     contacts, bp = collide(state, cfg)
-    warm = read_cached_impulses(state.cache, contacts)
+    warm, pwarm = read_cached_impulses(state.cache, contacts)
     if cfg.persistent_coloring:
         coloring, colors = color_manifolds_cached(
             contacts, bodies, cfg, state.colors)
     else:
         coloring, colors = None, state.colors
     if _use_kernels(cfg, bodies.pos.shape[0]):
-        bodies, acc_world, spill, pseudo = setup_solve_fused(
+        bodies, acc_world, spill, pseudo, pseudo_acc = setup_solve_fused(
             bodies, contacts, warm, cfg,
             interpret=(cfg.solver == "pallas_interpret"),
-            coloring=coloring)
+            coloring=coloring, pwarm=pwarm)
     else:
         con, bodies, acc = setup_constraints(bodies, contacts, warm, cfg,
-                                             coloring=coloring)
-        bodies, acc, pseudo = solve(bodies, con, acc, cfg)
+                                             coloring=coloring, pwarm=pwarm)
+        bodies, acc, pseudo, pseudo_acc = solve(bodies, con, acc, cfg)
         acc_world = accumulated_world_impulse(con, acc)
         spill = con.spill_count
-    cache = write_cached_impulses(contacts, acc_world)
+    cache = write_cached_impulses(contacts, acc_world, pseudo_acc)
 
     bodies = advance(bodies, state.sleep, cfg)
     if cfg.split_impulse:

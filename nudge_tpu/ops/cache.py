@@ -23,8 +23,9 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
 def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
-    """Core join: returns f32[K,3] impulses for current keys (zeros on miss).
-    Identity = (gid_a, gid_b, feature) — three i32 keys, lex-sorted.
+    """Core join: returns f32[K,W] payloads for current keys (zeros on miss).
+    Identity = (gid_a, gid_b, feature) — three i32 keys, lex-sorted. The
+    payload width W is whatever `c_imp` carries (impulse xyz, pseudo, ...).
 
     Precondition: VALID current keys are unique (guaranteed by the engine —
     one manifold per collider pair, distinct candidate-slot features within
@@ -40,6 +41,7 @@ def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
 
     n_cache = c_ga.shape[0]
     n_cur = k_ga.shape[0]
+    w = c_imp.shape[1]
 
     ga = jnp.concatenate([c_ga, k_ga])
     gb = jnp.concatenate([c_gb, k_gb])
@@ -47,17 +49,20 @@ def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
     src = jnp.concatenate([
         jnp.zeros((n_cache,), jnp.int32), jnp.ones((n_cur,), jnp.int32)
     ])
-    payload = jnp.concatenate([c_imp, jnp.zeros((n_cur, 3), jnp.float32)])
+    payload = jnp.concatenate([c_imp, jnp.zeros((n_cur, w), jnp.float32)])
     orig = jnp.concatenate([
         jnp.full((n_cache,), -1, jnp.int32),
         jnp.arange(n_cur, dtype=jnp.int32),
     ])
 
-    ga, gb, feat, src, px, py, pz, orig = jax.lax.sort(
-        (ga, gb, feat, src, payload[:, 0], payload[:, 1], payload[:, 2], orig),
+    sorted_ = jax.lax.sort(
+        (ga, gb, feat, src) + tuple(payload[:, c] for c in range(w))
+        + (orig,),
         num_keys=4,
     )
-    payload = jnp.stack([px, py, pz], axis=-1)
+    ga, gb, feat, src = sorted_[:4]
+    orig = sorted_[-1]
+    payload = jnp.stack(sorted_[4:4 + w], axis=-1)
 
     prev_match = (
         (src == 1)
@@ -69,38 +74,43 @@ def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
     prev_match = prev_match.at[0].set(False)
     matched = jnp.where(prev_match[:, None], jnp.roll(payload, 1, axis=0), 0.0)
 
-    out = jnp.zeros((n_cur, 3), jnp.float32)
+    out = jnp.zeros((n_cur, w), jnp.float32)
     sel = src == 1
     tgt = jnp.where(sel, orig, n_cur)  # out-of-bounds rows drop
     out = out.at[tgt].add(jnp.where(sel[:, None], matched, 0.0), mode="drop")
     return jnp.where(k_valid[:, None], out, 0.0)
 
 
-def read_cached_impulses(cache: ContactCache, man: Manifolds) -> jnp.ndarray:
-    """Warm-start impulses for every manifold point — f32[M,P,3]."""
+def read_cached_impulses(cache: ContactCache, man: Manifolds):
+    """Warm-start payload for every manifold point: (impulse f32[M,P,3],
+    pseudo f32[M,P])."""
     m, p = man.feat.shape
     ga_flat = jnp.broadcast_to(man.ga[:, None], (m, p)).reshape(-1)
     gb_flat = jnp.broadcast_to(man.gb[:, None], (m, p)).reshape(-1)
+    payload = jnp.concatenate([cache.impulse, cache.pseudo[:, None]], axis=-1)
     out = _join(
-        cache.ga, cache.gb, cache.feat, cache.impulse, cache.valid,
+        cache.ga, cache.gb, cache.feat, payload, cache.valid,
         ga_flat, gb_flat, man.feat.reshape(-1), man.point_valid.reshape(-1),
     )
-    return out.reshape(m, p, 3)
+    return out[:, 0:3].reshape(m, p, 3), out[:, 3].reshape(m, p)
 
 
-def write_cached_impulses(man: Manifolds, impulse_world: jnp.ndarray
-                          ) -> ContactCache:
+def write_cached_impulses(man: Manifolds, impulse_world: jnp.ndarray,
+                          pseudo_acc=None) -> ContactCache:
     """New cache = this frame's contact points + their accumulated world
-    impulses f32[M,P,3] (reference: update_/write_cached_impulses, SURVEY C9).
-    """
+    impulses f32[M,P,3] and pseudo normal impulses f32[M,P] (reference:
+    update_/write_cached_impulses, SURVEY C9)."""
     m, p = man.feat.shape
     valid = man.point_valid.reshape(-1)
     ga_flat = jnp.broadcast_to(man.ga[:, None], (m, p)).reshape(-1)
     gb_flat = jnp.broadcast_to(man.gb[:, None], (m, p)).reshape(-1)
+    if pseudo_acc is None:
+        pseudo_acc = jnp.zeros((m, p), jnp.float32)
     return ContactCache(
         ga=jnp.where(valid, ga_flat, 0),
         gb=jnp.where(valid, gb_flat, 0),
         feat=jnp.where(valid, man.feat.reshape(-1), 0),
         impulse=jnp.where(valid[:, None], impulse_world.reshape(-1, 3), 0.0),
+        pseudo=jnp.where(valid, pseudo_acc.reshape(-1), 0.0),
         valid=valid,
     )

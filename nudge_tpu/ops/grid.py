@@ -157,7 +157,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     offs = jnp.cumsum(cnt_flat)
     total_cand = offs[-1]
     off0 = offs - cnt_flat                                       # exclusive
-    cap = cfg.grid_expand_cap or 4 * cfg.total_pairs
+    cap = cfg.grid_expand_cap or 16 * cfg.total_pairs
     s_ids = jnp.arange(cnt_flat.shape[0], dtype=jnp.int32)
     # non-empty segments have unique off0 (each advances the prefix)
     mark = jnp.full((cap,), -1, jnp.int32)

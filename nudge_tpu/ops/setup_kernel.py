@@ -39,13 +39,14 @@ from .solver_kernel import (
     padded_groups, spatial_subkey, vel_rows, window_words,
 )
 
-GEOM_ROWS = 40
+GEOM_ROWS = 44
 # geometry payload row layout (column = manifold):
 #   0:3 n | 3 mu | 4 relax | 5 idx_a | 6 idx_b | 7 live
 #   8:20  pos   (p-major: 8 + 3p + c)
 #   20:24 depth
 #   24:36 warm impulse (p-major)
 #   36:40 point_valid
+#   40:44 warm pseudo impulse (split impulse; zeros otherwise)
 
 # body table row layout (column = body):
 #   0:3 pos | 3:7 quat | 7:10 inv_inertia | 10 inv_mass
@@ -65,7 +66,7 @@ def color_slots(color, man, bodies: Bodies, cfg: SimConfig):
 
 
 def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
-                  cfg: SimConfig):
+                  cfg: SimConfig, pwarm=None):
     """Build (velw, body_tbl, geom, (tmin, tmax, bits)) for the setup kernel.
 
     One [GEOM_ROWS, M+1] row stack + one gather by inverse slot replaces
@@ -104,6 +105,8 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
         man.depth.T,                                        # 20:24
         warm.reshape(m, 3 * P).T,                           # 24:36
         man.point_valid.astype(jnp.float32).T,              # 36:40
+        (jnp.zeros((P, m), jnp.float32) if pwarm is None
+         else pwarm.T),                                     # 40:44
     ], axis=0)
     # dead column: sentinel ids, zero everything else
     dead = jnp.zeros((GEOM_ROWS, 1), jnp.float32)
@@ -175,7 +178,11 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
     n_vel_rows = vel_rows(cfg)
 
     def kernel(tmin_ref, tmax_ref, bits_ref, bt_ref, geom_ref, velw_in,
-               velw_out, con_out, acc_out, gA, gB):
+               velw_out, con_out, acc_out, *rest):
+        if split:
+            pacc_out, gA, gB = rest
+        else:
+            gA, gB = rest
         t = pl.program_id(0)
 
         # velw_out is NOT aliased to velw_in (aliased pallas outputs chained
@@ -242,6 +249,10 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
         Pimp = jnp.zeros((3, SUB, LANES), jnp.float32)
         dwa = jnp.zeros((3, SUB, LANES), jnp.float32)
         dwb = jnp.zeros((3, SUB, LANES), jnp.float32)
+        if split:
+            PimpP = jnp.zeros((3, SUB, LANES), jnp.float32)
+            dwaP = jnp.zeros((3, SUB, LANES), jnp.float32)
+            dwbP = jnp.zeros((3, SUB, LANES), jnp.float32)
 
         for p in range(CONTACT_POINTS):
             pos = geom_ref[8 + 3 * p:11 + 3 * p, :, :]
@@ -300,6 +311,20 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             dwa = dwa + an * jna + at1 * jt1a + at2 * jt2a
             dwb = dwb + an * jnb + at1 * jt1b + at2 * jt2b
 
+            if split:
+                # pseudo warm start: seed the pseudo accumulators and the
+                # pseudo-velocity channel the same way real warm starts seed
+                # momentum — the quasi-static correction field carries over
+                if warm_start:
+                    pw = jnp.maximum(
+                        geom_ref[40 + p:41 + p, :, :], 0.0) * pv
+                else:
+                    pw = jnp.zeros((1, SUB, LANES), jnp.float32)
+                pacc_out[p * SUB:(p + 1) * SUB, :] = pw.reshape(SUB, LANES)
+                PimpP = PimpP + pw * n
+                dwaP = dwaP + pw * jna
+                dwbP = dwbP + pw * jnb
+
             b0 = _PT0 + _PT * p
             con_out[b0:b0 + 3, :, :] = ra
             con_out[b0 + 3:b0 + 6, :, :] = rb
@@ -326,12 +351,22 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
         con_out[_PB0 + CONTACT_POINTS:CON_ROWS, :, :] = jnp.zeros(
             (CON_ROWS - _PB0 - CONTACT_POINTS, SUB, LANES), jnp.float32)
 
-        # ---- apply warm-start impulses to body momentum (never pseudo) ----
-        pad_rows = n_vel_rows - 6
-        dA = jnp.concatenate(
-            [-Pimp * ima, -dwa, jnp.zeros((pad_rows, SUB, LANES))], 0) * live
-        dB = jnp.concatenate(
-            [Pimp * imb, dwb, jnp.zeros((pad_rows, SUB, LANES))], 0) * live
+        # ---- apply warm-start impulses to body momentum (and the pseudo
+        # channel rows 8:14 under split impulse) ----
+        if split:
+            z2 = jnp.zeros((2, SUB, LANES), jnp.float32)
+            dA = jnp.concatenate(
+                [-Pimp * ima, -dwa, z2, -PimpP * ima, -dwaP, z2], 0) * live
+            dB = jnp.concatenate(
+                [Pimp * imb, dwb, z2, PimpP * imb, dwbP, z2], 0) * live
+        else:
+            pad_rows = n_vel_rows - 6
+            dA = jnp.concatenate(
+                [-Pimp * ima, -dwa,
+                 jnp.zeros((pad_rows, SUB, LANES))], 0) * live
+            dB = jnp.concatenate(
+                [Pimp * imb, dwb,
+                 jnp.zeros((pad_rows, SUB, LANES))], 0) * live
 
         def scatter_bt(bti, _):
             @pl.when(member(bti))
@@ -360,17 +395,38 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
 
 
 def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
-                 cfg: SimConfig, interpret: bool = False):
+                 cfg: SimConfig, interpret: bool = False, pwarm=None):
     """Run the setup kernel. Returns (velw, con_f[CON_ROWS, mpad],
-    acc_f[ACC_ROWS, mpad], win) ready for solver_kernel's solve pass; velw
-    already has warm starts applied."""
+    acc_f[ACC_ROWS, mpad], pacc_f[4, mpad] | None, win) ready for
+    solver_kernel's solve pass; velw already has warm starts applied (the
+    pseudo channel too, under split impulse)."""
+    split = cfg.split_impulse
     velw, bt, geom, win = pack_geometry(
-        bodies, man, warm, relax, slot, mpad, cfg)
+        bodies, man, warm, relax, slot, mpad, cfg, pwarm=pwarm)
     npad = velw.shape[1]
     n_groups = mpad // GROUP
     geom3 = geom.reshape(GEOM_ROWS, n_groups * SUB, LANES)
 
     w_words = window_words(npad // LANES)
+    out_specs = [
+        pl.BlockSpec((vel_rows(cfg), npad), lambda t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),          # velw out
+        pl.BlockSpec((CON_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
+                     memory_space=pltpu.VMEM),          # con group
+        pl.BlockSpec((ACC_ROWS * SUB, LANES), lambda t, *_: (0, t),
+                     memory_space=pltpu.VMEM),          # acc group
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(velw.shape, jnp.float32),
+        jax.ShapeDtypeStruct((CON_ROWS, n_groups * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((ACC_ROWS * SUB, n_groups * LANES), jnp.float32),
+    ]
+    if split:
+        out_specs.append(
+            pl.BlockSpec((CONTACT_POINTS * SUB, LANES), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM))      # pseudo acc group
+        out_shape.append(jax.ShapeDtypeStruct(
+            (CONTACT_POINTS * SUB, n_groups * LANES), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -382,49 +438,39 @@ def setup_pallas(bodies: Bodies, man, warm, relax, slot, mpad,
             pl.BlockSpec((vel_rows(cfg), npad), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # velw (resident)
         ],
-        out_specs=[
-            pl.BlockSpec((vel_rows(cfg), npad), lambda t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),          # velw out
-            pl.BlockSpec((CON_ROWS, SUB, LANES), lambda t, *_: (0, t, 0),
-                         memory_space=pltpu.VMEM),          # con group
-            pl.BlockSpec((ACC_ROWS * SUB, LANES), lambda t, *_: (0, t),
-                         memory_space=pltpu.VMEM),          # acc group
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((body_rows(cfg), SUB, LANES), jnp.float32),  # gather A
             pltpu.VMEM((body_rows(cfg), SUB, LANES), jnp.float32),  # gather B
         ],
     )
     tmin, tmax, bits = win
-    velw_out, con_f3, acc_k = pl.pallas_call(
+    outs = pl.pallas_call(
         _make_setup_kernel(cfg, w_words),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(velw.shape, jnp.float32),
-            jax.ShapeDtypeStruct((CON_ROWS, n_groups * SUB, LANES),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((ACC_ROWS * SUB, n_groups * LANES),
-                                 jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tmin, tmax, bits, bt, geom3, velw)
+    velw_out, con_f3, acc_k = outs[:3]
     con_f = con_f3.reshape(CON_ROWS, mpad)
     acc_f = acc_from_kernel_layout(acc_k, cfg)
-    return velw_out, con_f, acc_f, win
+    pacc_f = (acc_from_kernel_layout(outs[3], cfg, rows=CONTACT_POINTS)
+              if split else None)
+    return velw_out, con_f, acc_f, pacc_f, win
 
 
 def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
-                      interpret: bool = False, coloring=None):
+                      interpret: bool = False, coloring=None, pwarm=None):
     """Full constraint setup + iterated solve in two Pallas kernels.
 
     Replaces setup_constraints + solve for the TPU path (reference:
     setup_contact_constraints + apply_impulses, SURVEY §3.C). Returns
     (bodies, world_impulse f32[M,P,3] for the cache, spill_count,
-    (pseudo_vel, pseudo_angvel))."""
+    (pseudo_vel, pseudo_angvel), pseudo_acc f32[M,P])."""
     from ..mathx import orthonormal_basis
     from .solver import color_manifolds
     from .solver_kernel import solve_packed
@@ -435,8 +481,9 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     m = man.normal.shape[0]
     slot, mpad = color_slots(color, man, bodies, cfg)
 
-    velw, con_f, acc_f, win = setup_pallas(
-        bodies, man, warm, relax, slot, mpad, cfg, interpret=interpret)
+    velw, con_f, acc_f, pacc_f, win = setup_pallas(
+        bodies, man, warm, relax, slot, mpad, cfg, interpret=interpret,
+        pwarm=pwarm)
     # alias=False is load-bearing: aliasing the solve's velw/acc in->out when
     # the inputs are this setup call's sole-consumer outputs makes XLA chain
     # the two custom calls through one donated buffer, which miscompiles at
@@ -444,8 +491,9 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     # scan donation or an optimization_barrier between the calls; every
     # kernel verified correct whenever the buffers had a second consumer —
     # scripts/debug_scan_chain2.py "solo" vs "chain" modes).
-    velw_out, acc_out = solve_packed(velw, con_f, acc_f, win, cfg,
-                                     interpret=interpret, alias=False)
+    velw_out, acc_out, pacc_out = solve_packed(
+        velw, con_f, acc_f, win, cfg, interpret=interpret, alias=False,
+        afp=pacc_f)
 
     n = bodies.pos.shape[0]
     bodies = bodies.replace(vel=velw_out[0:3, :n].T,
@@ -458,8 +506,12 @@ def setup_solve_fused(bodies: Bodies, man, warm, cfg: SimConfig,
     acc_n = acc_out[0:4, :].T[slot]
     acc_t1 = acc_out[4:8, :].T[slot]
     acc_t2 = acc_out[8:12, :].T[slot]
+    if pacc_out is not None:
+        pseudo_acc = pacc_out[0:CONTACT_POINTS, :].T[slot]
+    else:
+        pseudo_acc = jnp.zeros_like(acc_n)
     t1, t2 = orthonormal_basis(man.normal)
     world = (acc_n[..., None] * man.normal[:, None]
              + acc_t1[..., None] * t1[:, None]
              + acc_t2[..., None] * t2[:, None])
-    return bodies, world, spill, pseudo
+    return bodies, world, spill, pseudo, pseudo_acc

@@ -65,6 +65,10 @@ class ContactConstraints:
     mt2: jnp.ndarray
     bias: jnp.ndarray       # f32[M,P] target separating velocity (>= 0)
     pos_bias: jnp.ndarray   # f32[M,P] pseudo-velocity target (split impulse)
+    pwarm: jnp.ndarray      # f32[M,P] warm-start pseudo impulses (cache) —
+                            # the pseudo solve is quasi-static at rest, so
+                            # seeding it removes the under-convergence creep
+                            # observed on deep piles (docs/PERF_NOTES.md)
     mu: jnp.ndarray         # f32[M]
     im_a: jnp.ndarray       # f32[M]
     im_b: jnp.ndarray
@@ -247,10 +251,11 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
 
 def setup_constraints(bodies: Bodies, man: Manifolds,
                       warm_impulse: jnp.ndarray, cfg: SimConfig,
-                      coloring=None):
+                      coloring=None, pwarm=None):
     """Precompute contact frames, effective masses, bias; apply warm-start
     impulses to body momentum (reference: setup_contact_constraints,
-    SURVEY §3.C). `warm_impulse` is f32[M,P,3] world impulses from the cache.
+    SURVEY §3.C). `warm_impulse` is f32[M,P,3] world impulses from the cache;
+    `pwarm` is the cached f32[M,P] pseudo normal impulses (split impulse).
     Returns (constraints, bodies, acc) with acc = (λn, λt1, λt2) each [M,P].
     """
     ba, bb_ = man.body_a, man.body_b
@@ -305,10 +310,13 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
         coloring = color_manifolds(man, bodies, cfg)
     color, n_colors, relax, spill = coloring
 
+    if pwarm is None or not (cfg.split_impulse and cfg.warm_start):
+        pwarm = jnp.zeros_like(mn)
     con = ContactConstraints(
         body_a=ba, body_b=bb_, n=n, t1=t1, t2=t2, ra=ra, rb=rb,
         jna=jna, jnb=jnb, jt1a=jt1a, jt1b=jt1b, jt2a=jt2a, jt2b=jt2b,
         mn=mn, mt1=mt1, mt2=mt2, bias=bias, pos_bias=pos_bias,
+        pwarm=jnp.where(man.point_valid, pwarm, 0.0),
         mu=man.friction,
         im_a=im_a, im_b=im_b, relax=relax, color=color, n_colors=n_colors,
         point_valid=man.point_valid, valid=man.valid, spill_count=spill,
@@ -367,9 +375,12 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
     per-step overshoot becomes a gravity-powered energy pump on deep
     piles: overshoot -> lift -> fall, observed as KE growth at 2048+).
     The pseudo result moves positions only (engine.step applies it) and
-    never feeds the cache or momentum.
+    never feeds momentum; its accumulators warm-start from `con.pwarm` (the
+    quasi-static correction field changes slowly, so seeding removes the
+    re-converge-from-zero under-convergence that left deep piles restless)
+    and are returned for the cache.
 
-    Returns (bodies, acc, (pseudo_vel, pseudo_angvel))."""
+    Returns (bodies, acc, (pseudo_vel, pseudo_angvel), pseudo_acc[M,P])."""
     acc_n, acc_t1, acc_t2 = acc
     n_colors = jnp.maximum(con.n_colors, 1)
     split = cfg.split_impulse
@@ -463,13 +474,25 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
         return (vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, pacc)
 
     zero_v = jnp.zeros_like(bodies.vel)
-    init = (bodies.vel, bodies.angvel, zero_v, zero_v, acc_n, acc_t1, acc_t2,
-            jnp.zeros_like(acc_n))
-    vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, _ = jax.lax.fori_loop(
+    pacc0 = jnp.where(con.point_valid, con.pwarm, 0.0)
+    if split:
+        # warm-start pseudo velocities consistent with the seeded pacc
+        # (mirrors the real warm start applied to momentum in setup)
+        Pp = jnp.sum(pacc0, 1)[:, None] * con.n
+        pdw_a = jnp.sum(pacc0[..., None] * con.jna, axis=1)
+        pdw_b = jnp.sum(pacc0[..., None] * con.jnb, axis=1)
+        pvel0 = (zero_v.at[con.body_a].add(-Pp * con.im_a[:, None])
+                 .at[con.body_b].add(Pp * con.im_b[:, None]))
+        pang0 = zero_v.at[con.body_a].add(-pdw_a).at[con.body_b].add(pdw_b)
+    else:
+        pvel0 = pang0 = zero_v
+    init = (bodies.vel, bodies.angvel, pvel0, pang0, acc_n, acc_t1, acc_t2,
+            pacc0)
+    vel, angvel, pvel, pang, acc_n, acc_t1, acc_t2, pacc = jax.lax.fori_loop(
         0, cfg.solver_iters * n_colors, pass_fn, init
     )
     return (bodies.replace(vel=vel, angvel=angvel),
-            (acc_n, acc_t1, acc_t2), (pvel, pang))
+            (acc_n, acc_t1, acc_t2), (pvel, pang), pacc)
 
 
 def accumulated_world_impulse(con: ContactConstraints, acc) -> jnp.ndarray:

@@ -181,21 +181,21 @@ def dynamic_windows(slot, valid, body_a, body_b, dyn_a, dyn_b, mpad,
     return tmin, jnp.maximum(tmax, tmin), bits.reshape(-1).astype(jnp.int32)
 
 
-def acc_to_kernel_layout(af12, cfg: SimConfig):
-    """[ACC_ROWS, mpad] (lane = slot) -> [ACC_ROWS*SUB, n_groups*LANES]
+def acc_to_kernel_layout(af12, cfg: SimConfig, rows: int = ACC_ROWS):
+    """[rows, mpad] (lane = slot) -> [rows*SUB, n_groups*LANES]
     (row = q*SUB + s, lane = g*LANES + l for slot = (g*SUB+s)*LANES+l)."""
     n_groups = padded_groups(cfg)
-    return (af12.reshape(ACC_ROWS, n_groups, SUB, LANES)
+    return (af12.reshape(rows, n_groups, SUB, LANES)
             .transpose(0, 2, 1, 3)
-            .reshape(ACC_ROWS * SUB, n_groups * LANES))
+            .reshape(rows * SUB, n_groups * LANES))
 
 
-def acc_from_kernel_layout(acc_k, cfg: SimConfig):
-    """Inverse of acc_to_kernel_layout: -> [ACC_ROWS, mpad]."""
+def acc_from_kernel_layout(acc_k, cfg: SimConfig, rows: int = ACC_ROWS):
+    """Inverse of acc_to_kernel_layout: -> [rows, mpad]."""
     n_groups = padded_groups(cfg)
-    return (acc_k.reshape(ACC_ROWS, SUB, n_groups, LANES)
+    return (acc_k.reshape(rows, SUB, n_groups, LANES)
             .transpose(0, 2, 1, 3)
-            .reshape(ACC_ROWS, n_groups * GROUP))
+            .reshape(rows, n_groups * GROUP))
 
 
 def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
@@ -270,14 +270,20 @@ def pack_solver_inputs(bodies: Bodies, con, acc, cfg: SimConfig):
     af = put(af, 4, acc_t1)
     af = put(af, 8, acc_t2)
 
+    if cfg.split_impulse:
+        afp = jnp.zeros((CONTACT_POINTS, mpad), jnp.float32)
+        afp = put(afp, 0, jnp.where(con.point_valid, con.pwarm, 0.0))
+    else:
+        afp = None
+
     # per-group body-tile windows over dynamic sides only
     win = dynamic_windows(slot, con.valid, con.body_a, con.body_b,
                           dyn_a, dyn_b, mpad, npad // LANES)
 
-    return velw, cf, af, win, slot
+    return velw, cf, af, afp, win, slot
 
 
-def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m):
+def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m, paccf=None):
     n = bodies.pos.shape[0]
     acc_n = accf[0:4, :].T[slot]
     acc_t1 = accf[4:8, :].T[slot]
@@ -288,7 +294,11 @@ def unpack_solver_outputs(bodies: Bodies, velw, accf, slot, m):
     else:
         z = jnp.zeros_like(bodies.vel)
         pseudo = (z, z)
-    return bodies, (acc_n, acc_t1, acc_t2), pseudo
+    if paccf is not None:
+        pseudo_acc = paccf[0:CONTACT_POINTS, :].T[slot]
+    else:
+        pseudo_acc = jnp.zeros_like(acc_n)
+    return bodies, (acc_n, acc_t1, acc_t2), pseudo, pseudo_acc
 
 
 # ---------------------------------------------------------------------------
@@ -305,22 +315,26 @@ def _cross3(a, b):
 
 
 def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
-                  velw_out, acc_out, gA, gB, pacc, *, w_words, split,
-                  pfric):
+                  *rest, w_words, split, pfric):
+    if split:
+        pacc_ref, velw_out, acc_out, pacc, gA, gB = rest
+    else:
+        velw_out, acc_out, gA, gB = rest
     i = pl.program_id(0)
     t = pl.program_id(1)
 
     # seed the resident outputs from the inputs on the first grid step; with
     # input_output_aliases this is a redundant same-value copy, without it
     # (alias=False, see solve_packed) it is the required initialization.
-    # pacc (pseudo-impulse accumulators, split impulse) is VMEM scratch —
-    # it persists across grid steps and never leaves the kernel.
+    # pacc (pseudo-impulse accumulators, split impulse) is a resident
+    # output seeded from the cache-warmed pacc_ref; the converged values
+    # feed next frame's warm start through the contact cache.
     @pl.when((i == 0) & (t == 0))
     def _init():
         velw_out[:, :] = velw_ref[:, :]
         acc_out[:, :] = acc_ref[:, :]
         if split:
-            pacc[:, :] = jnp.zeros_like(pacc)
+            pacc[:, :] = pacc_ref[:, :]
 
     bt0 = tmin_ref[t]
     bt1 = tmax_ref[t]
@@ -491,11 +505,12 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
 
 
 def solve_packed(velw, cf, af, win, cfg: SimConfig,
-                 interpret: bool = False, alias: bool = True):
+                 interpret: bool = False, alias: bool = True, afp=None):
     """Run the iterated solve on pre-packed tensors (from pack_solver_inputs
     or the Pallas setup kernel). `cf`/`af` are the 2D [rows, mpad] layouts;
-    the group reshapes happen here. Returns (velw_out, acc_out[ACC_ROWS,
-    mpad]).
+    the group reshapes happen here. `afp` is the warm pseudo-accumulator
+    [CONTACT_POINTS, mpad] (required under split impulse). Returns
+    (velw_out, acc_out[ACC_ROWS, mpad], pacc_out[CONTACT_POINTS, mpad]|None).
 
     `alias=False` disables the velw/acc input->output buffer aliasing. It is
     REQUIRED when velw/af are outputs of another pallas_call with no other
@@ -506,6 +521,7 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
     XLA-op-produced inputs (pack_solver_inputs) aliasing is safe and saves
     the copy."""
     tmin, tmax, bits = win
+    split = cfg.split_impulse
     npad = velw.shape[1]
     mpad = cf.shape[1]
     n_groups = mpad // GROUP
@@ -514,62 +530,96 @@ def solve_packed(velw, cf, af, win, cfg: SimConfig,
     cf3 = cf.reshape(CON_ROWS, n_groups * SUB, LANES)
     af_k = acc_to_kernel_layout(af, cfg)
     vrows = vel_rows(cfg)
+    prow = CONTACT_POINTS * SUB
 
+    in_specs = [
+        pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),         # velw (resident)
+        pl.BlockSpec((CON_ROWS, SUB, LANES), lambda i, t, *_: (0, t, 0),
+                     memory_space=pltpu.VMEM),         # con group stream
+        pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
+                     lambda i, t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),         # acc (resident)
+    ]
+    out_specs = [
+        pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),         # velw out
+        pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
+                     lambda i, t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),         # acc out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(velw.shape, jnp.float32),
+        jax.ShapeDtypeStruct(af_k.shape, jnp.float32),
+    ]
+    operands = [velw, cf3, af_k]
+    # velw->out0, acc->out1 (skipped when alias=False, see docstring)
+    aliases = {3: 0, 5: 1}
+    if split:
+        if afp is None:
+            afp = jnp.zeros((CONTACT_POINTS, mpad), jnp.float32)
+        afp_k = acc_to_kernel_layout(afp, cfg, rows=CONTACT_POINTS)
+        in_specs.append(pl.BlockSpec((prow, n_groups * LANES),
+                                     lambda i, t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((prow, n_groups * LANES),
+                                      lambda i, t, *_: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(afp_k.shape, jnp.float32))
+        operands.append(afp_k)
+        aliases[6] = 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cfg.solver_iters, n_groups),
-        in_specs=[
-            pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),         # velw (resident)
-            pl.BlockSpec((CON_ROWS, SUB, LANES), lambda i, t, *_: (0, t, 0),
-                         memory_space=pltpu.VMEM),         # con group stream
-            pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
-                         lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),         # acc (resident)
-        ],
-        out_specs=[
-            pl.BlockSpec((vrows, npad), lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),         # velw out
-            pl.BlockSpec((ACC_ROWS * SUB, n_groups * LANES),
-                         lambda i, t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),         # acc out
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather A
             pltpu.VMEM((vrows, SUB, LANES), jnp.float32),  # gather B
-            # pseudo-impulse accumulators (split impulse), resident scratch
-            pltpu.VMEM((4 * SUB, n_groups * LANES), jnp.float32),
         ],
     )
-    velw_out, acc_out = pl.pallas_call(
-        partial(_solve_kernel, w_words=w_words, split=cfg.split_impulse,
-                pfric=cfg.split_impulse and cfg.pseudo_friction),
+    outs = pl.pallas_call(
+        partial(_solve_kernel, w_words=w_words, split=split,
+                pfric=split and cfg.pseudo_friction),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(velw.shape, jnp.float32),
-            jax.ShapeDtypeStruct(af_k.shape, jnp.float32),
-        ],
-        # velw->out0, acc->out1 (skipped when alias=False, see docstring)
-        input_output_aliases={3: 0, 5: 1} if alias else {},
+        out_shape=out_shape,
+        input_output_aliases=aliases if alias else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tmin, tmax, bits, velw, cf3, af_k)
-    return velw_out, acc_from_kernel_layout(acc_out, cfg)
+    )(tmin, tmax, bits, *operands)
+    pacc_out = (acc_from_kernel_layout(outs[2], cfg, rows=CONTACT_POINTS)
+                if split else None)
+    return outs[0], acc_from_kernel_layout(outs[1], cfg), pacc_out
 
 
 def solve_pallas(bodies: Bodies, con, acc, cfg: SimConfig,
                  interpret: bool = False):
     """Drop-in replacement for solver.solve() using the mega-kernel.
-    Returns (bodies, acc, (pseudo_vel, pseudo_angvel)) like solver.solve."""
+    Returns (bodies, acc, (pseudo_vel, pseudo_angvel), pseudo_acc) like
+    solver.solve."""
     m = con.color.shape[0]
-    velw, cf, af, win, slot = pack_solver_inputs(
+    velw, cf, af, afp, win, slot = pack_solver_inputs(
         bodies, con, acc, cfg)
-    velw_out, acc_out = solve_packed(velw, cf, af, win, cfg,
-                                     interpret=interpret)
-    return unpack_solver_outputs(bodies, velw_out, acc_out, slot, m)
+    if cfg.split_impulse:
+        # seed the pseudo-velocity channel to match the warm pacc (the XLA
+        # path does this inside solve(); the kernel starts from velw rows)
+        pacc0 = jnp.where(con.point_valid, con.pwarm, 0.0)
+        Pp = jnp.sum(pacc0, 1)[:, None] * con.n
+        pdw_a = jnp.sum(pacc0[..., None] * con.jna, axis=1)
+        pdw_b = jnp.sum(pacc0[..., None] * con.jnb, axis=1)
+        n = bodies.pos.shape[0]
+        z = jnp.zeros((n, 3), jnp.float32)
+        pvel0 = (z.at[con.body_a].add(-Pp * con.im_a[:, None])
+                 .at[con.body_b].add(Pp * con.im_b[:, None]))
+        pang0 = z.at[con.body_a].add(-pdw_a).at[con.body_b].add(pdw_b)
+        velw = velw.at[8:11, :n].set(pvel0.T).at[11:14, :n].set(pang0.T)
+    velw_out, acc_out, pacc_out = solve_packed(velw, cf, af, win, cfg,
+                                               interpret=interpret, afp=afp)
+    return unpack_solver_outputs(bodies, velw_out, acc_out, slot, m,
+                                 paccf=pacc_out)
 
 
 def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
@@ -584,8 +634,11 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
     # (2xACC_ROWS rows of mpad); setup holds velw in+out plus the body table.
     body_tbl_rows = 24 if cfg.restitution > 0.0 else 16
     vr = vel_rows(cfg)
+    # pseudo accumulators (split impulse) are a second resident in+out pair
+    acc_rows_eff = ACC_ROWS + (4 if cfg.split_impulse else 0)
     resident = (2 * vr * npad * 4
-                + max(2 * ACC_ROWS * mpad, (vr + body_tbl_rows) * npad) * 4)
+                + max(2 * acc_rows_eff * mpad,
+                      (vr + body_tbl_rows) * npad) * 4)
     buffers = 2 * CON_ROWS * GROUP * 4   # double-buffered con group stream
     # ~16MB VMEM per core; leave ~4MB for Mosaic temporaries/spills
     return (resident + buffers) < 12 * 1024 * 1024

@@ -212,6 +212,7 @@ class SceneBuilder:
                 gb=jnp.zeros((c,), jnp.int32),
                 feat=jnp.zeros((c,), jnp.int32),
                 impulse=jnp.zeros((c, 3), jnp.float32),
+                pseudo=jnp.zeros((c,), jnp.float32),
                 valid=jnp.zeros((c,), bool),
             ),
             sleep=SleepState(

@@ -93,6 +93,10 @@ class ContactCache:
     gb: jnp.ndarray        # i32[C] second collider gid
     feat: jnp.ndarray      # i32[C] feature id within the pair
     impulse: jnp.ndarray   # f32[C,3] accumulated world-space impulse
+    pseudo: jnp.ndarray    # f32[C] accumulated pseudo (position-solve) normal
+                           # impulse — warm-starts the split-impulse pass;
+                           # without it the pseudo solve re-converges from
+                           # zero every step and under-converges deep piles
     valid: jnp.ndarray     # bool[C]
 
 
@@ -171,6 +175,7 @@ def empty_state(cfg: SimConfig) -> SimState:
             gb=jnp.zeros((c,), i32),
             feat=jnp.zeros((c,), i32),
             impulse=jnp.zeros((c, 3), f32),
+            pseudo=jnp.zeros((c,), f32),
             valid=jnp.zeros((c,), bool),
         ),
         sleep=SleepState(

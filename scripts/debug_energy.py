@@ -29,7 +29,7 @@ def warm_stats(st, cfg):
     """Fraction of valid manifolds whose cached warm impulse was found."""
     def f(state):
         man, _ = collide(state, cfg)
-        warm = read_cached_impulses(state.cache, man)
+        warm, pwarm = read_cached_impulses(state.cache, man)
         hit = jnp.any(jnp.abs(warm) > 0, axis=(1, 2))
         nv = jnp.sum(man.valid.astype(jnp.int32))
         nh = jnp.sum((man.valid & hit).astype(jnp.int32))
@@ -60,7 +60,8 @@ def run(n, solver, split, chunks=12, **over):
               f"ke={ke:10.2f} pe={pe:12.2f} etot={ke+pe:12.2f} "
               f"depth={float(np.asarray(m.max_depth)[-1]):.4f} "
               f"vmax={speed.max():7.2f} nfast={(speed > 1).sum():5d} "
-              f"warm={nh}/{nv}",
+              f"warm={nh}/{nv} "
+              f"ovf={int(np.asarray(m.overflow).sum())}",
               flush=True)
 
 

@@ -44,15 +44,15 @@ def main(n=20480, steps=8, mode="chain"):
     def step_diag(state, _):
         bodies = apply_gravity(state.bodies, state.sleep, cfg)
         man, bp = collide(state, cfg)
-        warm = read_cached_impulses(state.cache, man)
+        warm, pwarm = read_cached_impulses(state.cache, man)
         m = man.normal.shape[0]
 
         if mode != "solo":
             # XLA reference chain
             con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-            velw_x, cf_x, af_x, win_x, slot_x = pack_solver_inputs(
+            velw_x, cf_x, af_x, _afp, win_x, slot_x = pack_solver_inputs(
                 bodies_x, con, acc, cfg)
-            velw_ox, acc_ox = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
+            velw_ox, acc_ox, _ = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
             bodies_xs, acc2 = unpack_solver_outputs(bodies_x, velw_ox, acc_ox,
                                                     slot_x, m)
             world_x = accumulated_world_impulse(con, acc2)
@@ -60,9 +60,9 @@ def main(n=20480, steps=8, mode="chain"):
         # Pallas chain
         color, _, relax, _ = color_manifolds(man, bodies, cfg)
         slot_p, mpad = color_slots(color, man, bodies, cfg)
-        velw_p, cf_p, af_p, win_p = setup_pallas(
+        velw_p, cf_p, af_p, _pacc, win_p = setup_pallas(
             bodies, man, warm, relax, slot_p, mpad, cfg)
-        velw_op, acc_op = solve_packed(velw_p, cf_p, af_p, win_p, cfg,
+        velw_op, acc_op, _ = solve_packed(velw_p, cf_p, af_p, win_p, cfg,
                                        alias=False)
         nb = bodies.pos.shape[0]
         bodies_ps = bodies.replace(vel=velw_op[0:3, :nb].T,

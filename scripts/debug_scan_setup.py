@@ -37,18 +37,18 @@ def main(n=20480, steps=8):
     def step_diag(state, _):
         bodies = apply_gravity(state.bodies, state.sleep, cfg)
         man, bp = collide(state, cfg)
-        warm = read_cached_impulses(state.cache, man)
+        warm, pwarm = read_cached_impulses(state.cache, man)
 
         # XLA reference setup + pack
         con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-        velw_x, cf_x, af_x, win_x, slot_x = pack_solver_inputs(
+        velw_x, cf_x, af_x, _afp, win_x, slot_x = pack_solver_inputs(
             bodies_x, con, acc, cfg)
         tmin_x, tmax_x, bits_x = win_x
 
         # Pallas setup kernel
         color, _, relax, _ = color_manifolds(man, bodies, cfg)
         slot_p, mpad = color_slots(color, man, bodies, cfg)
-        velw_p, cf_p, af_p, (tmin_p, tmax_p, bits_p) = setup_pallas(
+        velw_p, cf_p, af_p, _pacc, (tmin_p, tmax_p, bits_p) = setup_pallas(
             bodies, man, warm, relax, slot_p, mpad, cfg)
 
         live = cf_x[125] > 0.5
@@ -64,7 +64,7 @@ def main(n=20480, steps=8):
         }
 
         # continue the rollout with the XLA-packed tensors + pallas solve
-        velw_o, acc_o = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
+        velw_o, acc_o, _ = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
         bodies2, acc2 = unpack_solver_outputs(bodies_x, velw_o, acc_o,
                                               slot_x, man.normal.shape[0])
         diag["max_vel_solved"] = jnp.max(jnp.abs(bodies2.vel))

@@ -38,20 +38,20 @@ def main(n=20480, steps=8):
     def step_diag(state, _):
         bodies = apply_gravity(state.bodies, state.sleep, cfg)
         man, bp = collide(state, cfg)
-        warm = read_cached_impulses(state.cache, man)
+        warm, pwarm = read_cached_impulses(state.cache, man)
 
         # XLA reference setup + pack + solve
         con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-        velw_x, cf_x, af_x, win_x, slot_x = pack_solver_inputs(
+        velw_x, cf_x, af_x, _afp, win_x, slot_x = pack_solver_inputs(
             bodies_x, con, acc, cfg)
-        velw_ox, acc_ox = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
+        velw_ox, acc_ox, _ = solve_packed(velw_x, cf_x, af_x, win_x, cfg)
 
         # Pallas setup kernel + solve (the fused chain)
         color, _, relax, _ = color_manifolds(man, bodies, cfg)
         slot_p, mpad = color_slots(color, man, bodies, cfg)
-        velw_p, cf_p, af_p, win_p = setup_pallas(
+        velw_p, cf_p, af_p, _pacc, win_p = setup_pallas(
             bodies, man, warm, relax, slot_p, mpad, cfg)
-        velw_op, acc_op = solve_packed(velw_p, cf_p, af_p, win_p, cfg,
+        velw_op, acc_op, _ = solve_packed(velw_p, cf_p, af_p, win_p, cfg,
                                        alias=False)
 
         diag = {

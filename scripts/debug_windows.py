@@ -45,11 +45,11 @@ def main(n=20480):
 
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
     man, _ = jax.jit(lambda s: collide(s, cfg))(st)
-    warm = read_cached_impulses(st.cache, man)
+    warm, pwarm = read_cached_impulses(st.cache, man)
     color, ncol, relax, spill = color_manifolds(man, bodies, cfg)
     m = man.normal.shape[0]
     slot, mpad = color_slots(color, man, bodies, cfg)
-    velw, con_f, acc_f, win = setup_pallas(
+    velw, con_f, acc_f, _pacc, win = setup_pallas(
         bodies, man, warm, relax, slot, mpad, cfg)
     tmin, tmax, bits = win
 
@@ -107,7 +107,7 @@ def main(n=20480):
     rank = jnp.arange(m, dtype=jnp.int32) - starts[sc]
     slot_sorted = pstart[sc] + rank
     slot2 = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
-    velw2, con2, acc2, win2 = setup_pallas(
+    velw2, con2, acc2, _pacc2, win2 = setup_pallas(
         bodies, man, warm, relax, slot2, mpad, cfg)
     tmin2, tmax2, _ = win2
     t2min = np.asarray(tmin2)

@@ -64,11 +64,11 @@ def main(n=2048, reps=20):
 
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
     man, _ = jax.jit(lambda s: collide(s, cfg))(st)
-    warm = read_cached_impulses(st.cache, man)
+    warm, pwarm = read_cached_impulses(st.cache, man)
     color, _, relax, _ = color_manifolds(man, bodies, cfg)
     m_count = man.normal.shape[0]
     slot, mpad = color_slots(color, man, bodies, cfg)
-    velw, con_f, acc_f, win = setup_pallas(
+    velw, con_f, acc_f, pacc_f, win = setup_pallas(
         bodies, man, warm, relax, slot, mpad, cfg)
 
     total = 0.0

@@ -32,12 +32,15 @@ def mk_manifolds(pairs, feats, point_valid):
     )
 
 
-def mk_cache(pairs, feats, impulses, valid):
+def mk_cache(pairs, feats, impulses, valid, pseudo=None):
+    n = len(pairs)
     return ContactCache(
         ga=jnp.asarray(pairs, jnp.int32),
         gb=jnp.asarray(pairs, jnp.int32) + 1,
         feat=jnp.asarray(feats, jnp.int32),
         impulse=jnp.asarray(impulses, jnp.float32),
+        pseudo=(jnp.zeros((n,), jnp.float32) if pseudo is None
+                else jnp.asarray(pseudo, jnp.float32)),
         valid=jnp.asarray(valid, bool),
     )
 
@@ -58,7 +61,7 @@ def test_join_matches_and_misses():
         feats=full_feats([2, 1, 30], [7]),
         point_valid=[[True, True, True, False], [True, False, False, False]],
     )
-    out = np.asarray(read_cached_impulses(cache, man))
+    out = np.asarray(read_cached_impulses(cache, man)[0])
     np.testing.assert_allclose(out[0, 0], [0, 2, 0])   # (5,2) hit
     np.testing.assert_allclose(out[0, 1], [1, 0, 0])   # (5,1) hit
     np.testing.assert_allclose(out[0, 2], 0.0)         # (5,30) miss
@@ -67,7 +70,7 @@ def test_join_matches_and_misses():
     # (0,0) exists only as an invalid cache row -> never matches
     man2 = mk_manifolds([0], full_feats([0]),
                         [[True, False, False, False]])
-    out2 = np.asarray(read_cached_impulses(cache, man2))
+    out2 = np.asarray(read_cached_impulses(cache, man2)[0])
     np.testing.assert_allclose(out2[0, 0], 0.0)
 
 
@@ -82,7 +85,7 @@ def test_join_permutation_invariant():
     )
     perm = rng.permutation(m)
     man = mk_manifolds(pairs[perm], feats[perm], np.ones((m, P), bool))
-    out = np.asarray(read_cached_impulses(cache, man))
+    out = np.asarray(read_cached_impulses(cache, man)[0])
     np.testing.assert_allclose(
         out, imps.reshape(m, P, 3)[perm], atol=1e-6
     )
@@ -98,8 +101,15 @@ def test_roundtrip_write_then_read():
     imp[0, 0] = [1, 2, 3]
     imp[0, 1] = [4, 5, 6]
     imp[1, 0] = [7, 8, 9]
-    cache = write_cached_impulses(man, jnp.asarray(imp))
-    out = np.asarray(read_cached_impulses(cache, man))
+    pacc = np.zeros((2, P), np.float32)
+    pacc[0, 0] = 0.7
+    pacc[1, 0] = 1.3
+    cache = write_cached_impulses(man, jnp.asarray(imp), jnp.asarray(pacc))
+    out, pout = read_cached_impulses(cache, man)
+    out, pout = np.asarray(out), np.asarray(pout)
+    np.testing.assert_allclose(pout[0, 0], 0.7)
+    np.testing.assert_allclose(pout[1, 0], 1.3)
+    np.testing.assert_allclose(pout[0, 2], 0.0)
     np.testing.assert_allclose(out[0, 0], [1, 2, 3])
     np.testing.assert_allclose(out[0, 1], [4, 5, 6])
     np.testing.assert_allclose(out[1, 0], [7, 8, 9])

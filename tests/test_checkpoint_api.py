@@ -57,11 +57,12 @@ def test_api_pipeline_matches_engine_step():
 
     bodies = api.apply_gravity(st.bodies, st.sleep, cfg)
     contacts, _bp = api.collide(st, cfg)
-    warm = api.read_cached_impulses(st.cache, contacts)
-    con, bodies, acc = api.setup_contact_constraints(bodies, contacts, warm, cfg)
-    bodies, acc, pseudo = api.apply_impulses(con, bodies, acc, cfg)
+    warm, pwarm = api.read_cached_impulses(st.cache, contacts)
+    con, bodies, acc = api.setup_contact_constraints(
+        bodies, contacts, warm, cfg, pwarm=pwarm)
+    bodies, acc, pseudo, pseudo_acc = api.apply_impulses(con, bodies, acc, cfg)
     cache = api.write_cached_impulses(
-        contacts, api.update_cached_impulses(con, acc))
+        contacts, api.update_cached_impulses(con, acc), pseudo_acc)
     bodies = api.advance(bodies, st.sleep, cfg)
     from nudge_tpu.ops.integrate import apply_position_correction
     if cfg.split_impulse:

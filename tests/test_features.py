@@ -65,8 +65,8 @@ def test_coloring_conflict_free_invariant():
     st, _ = simulate(st, cfg, 100)
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
     man, _ = collide(st, cfg)
-    warm = read_cached_impulses(st.cache, man)
-    con, _, _ = setup_constraints(bodies, man, warm, cfg)
+    warm, pwarm = read_cached_impulses(st.cache, man)
+    con, _, _ = setup_constraints(bodies, man, warm, cfg, pwarm=pwarm)
     if int(con.spill_count) == 0:
         assert int(coloring_conflicts(con, st.bodies)) == 0
 

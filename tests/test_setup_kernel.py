@@ -35,19 +35,19 @@ def pile_inputs():
     st, _ = simulate(st, cfg, 80)
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
     man, _ = collide(st, cfg)
-    warm = read_cached_impulses(st.cache, man)
+    warm, pwarm = read_cached_impulses(st.cache, man)
     return cfg, bodies, man, warm
 
 
 def test_setup_kernel_matches_xla_pack(pile_inputs):
     cfg, bodies, man, warm = pile_inputs
     con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-    velw_x, cf_x, af_x, (tmin_x, tmax_x, bits_x), slot_x = \
+    velw_x, cf_x, af_x, _afp_x, (tmin_x, tmax_x, bits_x), slot_x = \
         pack_solver_inputs(bodies_x, con, acc, cfg)
 
     color, _, relax, _ = color_manifolds(man, bodies, cfg)
     slot_p, mpad = color_slots(color, man, bodies, cfg)
-    velw_p, cf_p, af_p, (tmin_p, tmax_p, bits_p) = setup_pallas(
+    velw_p, cf_p, af_p, _pacc_p, (tmin_p, tmax_p, bits_p) = setup_pallas(
         bodies, man, warm, relax, slot_p, mpad, cfg, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(slot_x), np.asarray(slot_p))
@@ -66,10 +66,10 @@ def test_setup_kernel_matches_xla_pack(pile_inputs):
 def test_fused_solve_matches_xla_solve(pile_inputs):
     cfg, bodies, man, warm = pile_inputs
     con, bodies_x, acc = setup_constraints(bodies, man, warm, cfg)
-    bodies_sx, acc_sx, pseudo_x = solve(bodies_x, con, acc, cfg)
+    bodies_sx, acc_sx, pseudo_x, pacc_x = solve(bodies_x, con, acc, cfg)
     world_x = accumulated_world_impulse(con, acc_sx)
 
-    bodies_f, world_f, spill_f, pseudo_f = setup_solve_fused(
+    bodies_f, world_f, spill_f, pseudo_f, pacc_f = setup_solve_fused(
         bodies, man, warm, cfg, interpret=True)
 
     np.testing.assert_allclose(
@@ -80,6 +80,8 @@ def test_fused_solve_matches_xla_solve(pile_inputs):
         np.asarray(world_x), np.asarray(world_f), atol=1e-5)
     for x, f in zip(pseudo_x, pseudo_f):
         np.testing.assert_allclose(np.asarray(x), np.asarray(f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pacc_x), np.asarray(pacc_f),
+                               atol=1e-5)
     assert int(spill_f) == int(con.spill_count)
 
 

@@ -28,14 +28,14 @@ def solve_inputs(builder, settle_steps, **over):
     st, _ = simulate(st, cfg, settle_steps)
     bodies = apply_gravity(st.bodies, st.sleep, cfg)
     man, _ = collide(st, cfg)
-    warm = read_cached_impulses(st.cache, man)
-    con, bodies, acc = setup_constraints(bodies, man, warm, cfg)
+    warm, pwarm = read_cached_impulses(st.cache, man)
+    con, bodies, acc = setup_constraints(bodies, man, warm, cfg, pwarm=pwarm)
     return cfg, bodies, con, acc
 
 
 def assert_solves_equal(cfg, bodies, con, acc):
-    bx, accx, psx = jax.jit(partial(solve, cfg=cfg))(bodies, con, acc)
-    bp, accp, psp = jax.jit(partial(solve_pallas, cfg=cfg, interpret=True))(
+    bx, accx, psx, pax = jax.jit(partial(solve, cfg=cfg))(bodies, con, acc)
+    bp, accp, psp, pap = jax.jit(partial(solve_pallas, cfg=cfg, interpret=True))(
         bodies, con, acc)
     np.testing.assert_array_equal(np.asarray(bx.vel), np.asarray(bp.vel))
     np.testing.assert_array_equal(np.asarray(bx.angvel), np.asarray(bp.angvel))
@@ -43,6 +43,7 @@ def assert_solves_equal(cfg, bodies, con, acc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
     for x, p in zip(psx, psp):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
+    np.testing.assert_array_equal(np.asarray(pax), np.asarray(pap))
 
 
 @pytest.mark.slow
