@@ -102,6 +102,14 @@ class SimConfig:
     grid_expand_cap: int = 0
     persistent_broadphase: bool = False  # amortize pair gen across steps (opt-in)
     rebuild_margin: float = 0.1     # speculative AABB fattening at rebuild
+    # The fat speculative set is a different population than the tight set:
+    # on a lattice spawn (or a settled pile) the 0.1 margin catches ~13
+    # half-stencil neighbors/body where the tight margin catches ~2-7. The
+    # persistent cache therefore gets its OWN capacity = this factor x the
+    # per-class pair caps; the per-step re-filter compacts back down to the
+    # tight caps, so everything downstream keeps non-persistent shapes.
+    # 3x the 5x-bodies tuning = 15 pairs/body, above the 13/body lattice max.
+    fat_pair_factor: int = 3
 
     # --- sleeping (SURVEY C13) ---
     sleeping: bool = False

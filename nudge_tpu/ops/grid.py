@@ -157,7 +157,11 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     offs = jnp.cumsum(cnt_flat)
     total_cand = offs[-1]
     off0 = offs - cnt_flat                                       # exclusive
-    cap = cfg.grid_expand_cap or 16 * cfg.total_pairs
+    # Candidate volume scales with COLLIDERS (stencil entries/collider:
+    # ~13-18 tight, ~25 under the fat rebuild margin), not with the pair
+    # capacity — so cap the pair-derived default by 64/collider, or the fat
+    # rebuild (3x pair caps) would size a ~200MB transient it cannot fill.
+    cap = cfg.grid_expand_cap or min(16 * cfg.total_pairs, 64 * g)
     s_ids = jnp.arange(cnt_flat.shape[0], dtype=jnp.int32)
     # non-empty segments have unique off0 (each advances the prefix)
     mark = jnp.full((cap,), -1, jnp.int32)

@@ -53,14 +53,31 @@ class BPCache:
     stale: jnp.ndarray        # bool: force rebuild (initial state)
 
 
+def fat_cfg(cfg: SimConfig) -> SimConfig:
+    """Config the rebuild runs under: fat speculative margin AND fat pair
+    capacities. The fat set is structurally larger than the tight set (a
+    settled pile or lattice spawn has ~13 half-stencil neighbors/body within
+    the 0.1 margin vs ~2-7 touching); sharing the tight capacity made the
+    20,480-pile rebuild overflow at spawn, wholesale-dropping 60% of pairs —
+    the starved region free-falls through the pile."""
+    k = max(cfg.fat_pair_factor, 1)
+    return cfg.replace(
+        aabb_margin=cfg.rebuild_margin,
+        max_box_box_pairs=k * cfg.max_box_box_pairs,
+        max_box_sphere_pairs=k * cfg.max_box_sphere_pairs,
+        max_sphere_sphere_pairs=k * cfg.max_sphere_sphere_pairs,
+    )
+
+
 def empty_bp_cache(cfg: SimConfig, n_bodies: int) -> BPCache:
     z = lambda c: jnp.zeros((c,), jnp.int32)
     f = lambda c: jnp.zeros((c,), bool)
-    ns = max(cfg.max_box_sphere_pairs, 0)
-    nss = max(cfg.max_sphere_sphere_pairs, 0)
+    fat = fat_cfg(cfg)
+    ns = max(fat.max_box_sphere_pairs, 0)
+    nss = max(fat.max_sphere_sphere_pairs, 0)
     return BPCache(
-        bb_a=z(cfg.max_box_box_pairs), bb_b=z(cfg.max_box_box_pairs),
-        bb_valid=f(cfg.max_box_box_pairs),
+        bb_a=z(fat.max_box_box_pairs), bb_b=z(fat.max_box_box_pairs),
+        bb_valid=f(fat.max_box_box_pairs),
         bs_a=z(ns), bs_b=z(ns), bs_valid=f(ns),
         ss_a=z(nss), ss_b=z(nss), ss_valid=f(nss),
         overflow=jnp.asarray(False),
@@ -97,8 +114,7 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
     is the full rebuild (grid or allpairs), run with the fat margin."""
 
     def rebuild(_):
-        fat = cfg.replace(aabb_margin=cfg.rebuild_margin)
-        bb, bs, ss = base_broadphase(state, wc, fat)
+        bb, bs, ss = base_broadphase(state, wc, fat_cfg(cfg))
         ovf = bb.overflow
         if bs.a.shape[0] > 0:
             ovf |= bs.overflow | ss.overflow
@@ -136,14 +152,13 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
 
     from .broadphase import compact_mask
 
-    def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b):
+    def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b, live_cap):
         keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn)
         keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
-        # 3/4 of the fat capacity: the tight set of a settled pile is most
-        # of the fat set (margin 0.1 vs 0.02 only adds ~20-30%); half was
-        # observed to overflow at 20480 (dropped pairs -> explosion)
-        live_cap = max(a.shape[0] * 3 // 4, 1)
-        sel, vv, cnt = compact_mask(keep, live_cap)
+        # compact to the TIGHT per-class capacity: the re-filtered live set
+        # is exactly the population the non-persistent path emits, so
+        # everything downstream keeps non-persistent shapes and cost
+        sel, vv, cnt = compact_mask(keep, max(live_cap, 1))
         return CandidatePairs(
             a=jnp.where(vv, a[sel], 0), b=jnp.where(vv, b[sel], 0),
             valid=vv, count=cnt,
@@ -151,14 +166,17 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
 
     bb = mk(bp.bb_a, bp.bb_b, bp.bb_valid,
             bx.body[bp.bb_a], bx.body[bp.bb_b],
-            blo[bp.bb_a], bhi[bp.bb_a], blo[bp.bb_b], bhi[bp.bb_b])
+            blo[bp.bb_a], bhi[bp.bb_a], blo[bp.bb_b], bhi[bp.bb_b],
+            cfg.max_box_box_pairs)
     if cfg.max_spheres > 0:
         bs = mk(bp.bs_a, bp.bs_b, bp.bs_valid,
                 bx.body[bp.bs_a], sp.body[bp.bs_b],
-                blo[bp.bs_a], bhi[bp.bs_a], slo[bp.bs_b], shi[bp.bs_b])
+                blo[bp.bs_a], bhi[bp.bs_a], slo[bp.bs_b], shi[bp.bs_b],
+                cfg.max_box_sphere_pairs)
         ss = mk(bp.ss_a, bp.ss_b, bp.ss_valid,
                 sp.body[bp.ss_a], sp.body[bp.ss_b],
-                slo[bp.ss_a], shi[bp.ss_a], slo[bp.ss_b], shi[bp.ss_b])
+                slo[bp.ss_a], shi[bp.ss_a], slo[bp.ss_b], shi[bp.ss_b],
+                cfg.max_sphere_sphere_pairs)
     else:
         empty = CandidatePairs(
             a=jnp.zeros((0,), jnp.int32), b=jnp.zeros((0,), jnp.int32),

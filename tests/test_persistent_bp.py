@@ -52,3 +52,32 @@ def test_persistent_sleeping_wake_pairs():
     m2 = jax.tree.map(np.asarray, m2)
     assert m2.awake_count.max() >= 4
     assert np.isfinite(np.asarray(st.bodies.pos)).all()
+
+
+def test_fat_rebuild_capacity_lattice_spawn():
+    """Regression (round 2, 20480-pile free fall): the fat speculative
+    rebuild catches ~13 half-stencil neighbors/body on a lattice spawn —
+    structurally more than the tight pair capacity. Before fat caps existed
+    the rebuild overflowed at spawn and wholesale-dropped most pairs; the
+    starved bodies fell through the pile forever (KE grows linearly, contact
+    count pinned at the ground layer). 256 bodies with the bench's 5x-bodies
+    pair tuning reproduces the same ratio."""
+    n = 256
+    b = scene_pile(n, seed=1)
+    kw = dict(max_box_box_pairs=5 * n, max_manifolds=2 * n, grid_density=16)
+    cfg_on = b.auto_config(persistent_broadphase=True, **kw)
+    cfg_off = b.auto_config(persistent_broadphase=False, **kw)
+    st_on = b.finalize(cfg_on)
+    st_off = b.finalize(cfg_off)
+    for _ in range(4):
+        st_on, m1 = simulate(st_on, cfg_on, 25)
+        st_off, m0 = simulate(st_off, cfg_off, 25)
+    m0 = jax.tree.map(np.asarray, m0)
+    m1 = jax.tree.map(np.asarray, m1)
+    assert not m1.overflow.any(), "fat rebuild must not overflow on a lattice"
+    # the pile must actually be forming contacts, and as many as the
+    # per-step-rebuild ground truth
+    assert m1.contact_count[-1] > n
+    assert m1.contact_count[-1] == m0.contact_count[-1]
+    # no free fall: kinetic energy bounded (ground truth within 2x)
+    assert m1.kinetic_energy[-1] < 2.0 * m0.kinetic_energy[-1] + 1e3
