@@ -74,6 +74,17 @@ class SimConfig:
     # real separating momentum must cascade the decompression there. At rest
     # depths (~slop) this term is exactly zero, so no energy churn returns.
     deep_bias_depth: float = 0.15
+    # approach-velocity gate on the deep bias: the emergency term is capped
+    # at max(0, -vn0 - deep_bias_gate) where vn0 is the contact's pre-solve
+    # normal velocity (negative = approaching). While the pile actively
+    # compresses (impact: approach speeds of m/s) the bias runs at full
+    # strength; at rest vn0 is just the per-step gravity kick (~g*dt=0.16 on
+    # ground contacts), inside the deadband, so the bias is exactly zero —
+    # without the gate, resting contacts deeper than deep_bias_depth become
+    # bias trampolines (observed on the settled 20,480 pile: KE doubled
+    # every ~25 steps from ~750 until the broadphase overflowed and the
+    # pile exploded). Negative disables gating (unconditional deep bias).
+    deep_bias_gate: float = 0.3
     # include the pseudo (position-solve) normal impulse in the friction
     # cone bound: the pseudo impulse IS contact force spent resolving
     # penetration, and classic Baumgarte implicitly granted friction for it

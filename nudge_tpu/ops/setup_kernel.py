@@ -50,9 +50,15 @@ GEOM_ROWS = 44
 
 # body table row layout (column = body):
 #   0:3 pos | 3:7 quat | 7:10 inv_inertia | 10 inv_mass
-#   11:14 vel | 14:17 angvel (pre-step; only packed when restitution > 0)
+#   11:14 vel | 14:17 angvel (pre-step; packed when some bias term needs the
+#   pre-solve contact velocity: restitution, or the deep-bias approach gate)
+def needs_vel0(cfg: SimConfig) -> bool:
+    return cfg.restitution > 0.0 or (
+        cfg.split_impulse and cfg.deep_bias_gate >= 0.0)
+
+
 def body_rows(cfg: SimConfig) -> int:
-    return 24 if cfg.restitution > 0.0 else 16
+    return 24 if needs_vel0(cfg) else 16
 
 
 def color_slots(color, man, bodies: Bodies, cfg: SimConfig):
@@ -86,7 +92,7 @@ def pack_geometry(bodies: Bodies, man, warm, relax, slot, mpad,
     bt = bt.at[3:7, :n].set(bodies.quat.T)
     bt = bt.at[7:10, :n].set(bodies.inv_inertia.T)
     bt = bt.at[10, :n].set(bodies.inv_mass)
-    if cfg.restitution > 0.0:
+    if needs_vel0(cfg):
         bt = bt.at[11:14, :n].set(bodies.vel.T)
         bt = bt.at[14:17, :n].set(bodies.angvel.T)
 
@@ -171,9 +177,11 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
     max_bias_vel = cfg.max_bias_vel
     slop = cfg.slop
     deep_bias_depth = cfg.deep_bias_depth
+    deep_bias_gate = cfg.deep_bias_gate
     restitution = cfg.restitution
     warm_start = cfg.warm_start
     split = cfg.split_impulse
+    vel0 = needs_vel0(cfg)
     n_body_rows = body_rows(cfg)
     n_vel_rows = vel_rows(cfg)
 
@@ -279,20 +287,26 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
             baum = jnp.minimum(
                 baumgarte_over_dt * jnp.maximum(depth - slop, 0.0),
                 max_bias_vel)
+            if vel0:
+                va0, wa0 = A[11:14], A[14:17]
+                vb0, wb0 = B[11:14], B[14:17]
+                vrel0 = (vb0 + _cross3(wb0, rb)) - (va0 + _cross3(wa0, ra))
+                vn0 = _dot3(vrel0, n)
             if split:
                 bias = jnp.minimum(
                     baumgarte_over_dt
                     * jnp.maximum(depth - deep_bias_depth, 0.0),
                     max_bias_vel)
+                if deep_bias_gate >= 0.0:
+                    # only counteract ACTIVE compression (SimConfig
+                    # .deep_bias_gate): zero at rest, full under impact
+                    bias = jnp.minimum(
+                        bias, jnp.maximum(-vn0 - deep_bias_gate, 0.0))
                 pos_bias = baum
             else:
                 bias = baum
                 pos_bias = jnp.zeros((1, SUB, LANES), jnp.float32)
             if restitution > 0.0:
-                va0, wa0 = A[11:14], A[14:17]
-                vb0, wb0 = B[11:14], B[14:17]
-                vrel0 = (vb0 + _cross3(wb0, rb)) - (va0 + _cross3(wa0, ra))
-                vn0 = _dot3(vrel0, n)
                 bias = jnp.maximum(
                     bias, restitution * jnp.maximum(-vn0 - 1.0, 0.0))
 

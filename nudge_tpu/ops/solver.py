@@ -288,22 +288,29 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
     baum = jnp.minimum(
         cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0),
         cfg.max_bias_vel)
+    need_vn0 = cfg.restitution > 0.0 or (
+        cfg.split_impulse and cfg.deep_bias_gate >= 0.0)
+    if need_vn0:
+        vrel0 = (
+            (bodies.vel[bb_][:, None] + cross(bodies.angvel[bb_][:, None], rb))
+            - (bodies.vel[ba][:, None] + cross(bodies.angvel[ba][:, None], ra))
+        )
+        vn0 = dot(vrel0, n[:, None])
     if cfg.split_impulse:
         # emergency decompression above deep_bias_depth (see SimConfig)
         bias = jnp.minimum(
             cfg.baumgarte / cfg.dt
             * jnp.maximum(man.depth - cfg.deep_bias_depth, 0.0),
             cfg.max_bias_vel)
+        if cfg.deep_bias_gate >= 0.0:
+            # only counteract ACTIVE compression (see SimConfig.deep_bias_gate)
+            bias = jnp.minimum(
+                bias, jnp.maximum(-vn0 - cfg.deep_bias_gate, 0.0))
         pos_bias = baum
     else:
         bias = baum
         pos_bias = jnp.zeros_like(baum)
     if cfg.restitution > 0.0:
-        vrel0 = (
-            (bodies.vel[bb_][:, None] + cross(bodies.angvel[bb_][:, None], rb))
-            - (bodies.vel[ba][:, None] + cross(bodies.angvel[ba][:, None], ra))
-        )
-        vn0 = dot(vrel0, n[:, None])
         bias = jnp.maximum(bias, cfg.restitution * jnp.maximum(-vn0 - 1.0, 0.0))
 
     if coloring is None:

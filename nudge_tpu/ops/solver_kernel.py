@@ -632,7 +632,8 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
     # module hazards), so input AND output buffers are simultaneously
     # resident: solve holds velw in+out (2x8 rows) plus acc in+out
     # (2xACC_ROWS rows of mpad); setup holds velw in+out plus the body table.
-    body_tbl_rows = 24 if cfg.restitution > 0.0 else 16
+    from .setup_kernel import body_rows
+    body_tbl_rows = body_rows(cfg)
     vr = vel_rows(cfg)
     # pseudo accumulators (split impulse) are a second resident in+out pair
     acc_rows_eff = ACC_ROWS + (4 if cfg.split_impulse else 0)

@@ -13,10 +13,10 @@ from nudge_tpu.engine import simulate
 from nudge_tpu.scenes import SceneBuilder
 
 
-def drop_overlapping(split, overlap=0.12):
+def drop_overlapping(split, overlap=0.12, vel=(0, 0, 0)):
     b = SceneBuilder()
     b.add_static_box((10, 0.5, 10), (0, -0.5, 0))
-    b.add_box((0.5, 0.5, 0.5), (0, 0.5 - overlap, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.5 - overlap, 0), vel=vel)
     cfg = b.auto_config(split_impulse=split)
     st, m = simulate(b.finalize(cfg), cfg, 120)
     return (np.asarray(st.bodies.pos)[1],
@@ -44,12 +44,28 @@ def test_baumgarte_pops_for_contrast():
     assert abs(pos[1] - 0.495) < 0.05   # it still ends up resting
 
 
-def test_deep_overlap_gets_emergency_bias():
-    """Beyond deep_bias_depth the emergency Baumgarte term must engage
-    (deep-pile impacts need real separating momentum — see SimConfig) and
-    still recover to rest."""
+def test_deep_overlap_at_rest_stays_gated():
+    """Beyond deep_bias_depth but at REST the emergency term must stay
+    gated off (SimConfig.deep_bias_gate: the pre-solve approach velocity is
+    just the gravity kick, inside the deadband) — recovery is pure position
+    correction, no pop, and it still reaches rest."""
     pos, ke, depth = drop_overlapping(split=True, overlap=0.3)
-    assert ke.max() > 0.05      # some momentum used for decompression
+    assert ke.max() < 0.05      # no bias trampoline on a resting contact
+    assert abs(pos[1] - 0.495) < 0.02
+    assert depth[-1] < 0.01
+
+
+def test_deep_bias_gate_opens_on_approach():
+    """A deep overlap that is ACTIVELY compressing (arriving at speed) must
+    get the emergency velocity bias: real separating momentum beyond what
+    the impact itself would leave (deep-pile impacts out-compress the
+    position-only recovery — see SimConfig.deep_bias_depth)."""
+    pos, ke, depth = drop_overlapping(split=True, overlap=0.25,
+                                      vel=(0, -4.0, 0))
+    # after the arrival frame the solver must have turned approach into
+    # separation (bias > 0): the box carries upward momentum for a while
+    assert ke[1:10].max() > 0.05
+    # and it recovers to rest cleanly
     assert abs(pos[1] - 0.495) < 0.02
     assert depth[-1] < 0.01
 
