@@ -54,6 +54,24 @@ def step(state: SimState, cfg: SimConfig):
 
     contacts, bp = collide(state, cfg)
     warm, pwarm = read_cached_impulses(state.cache, contacts)
+
+    # Sleeping bodies leave the active set (reference: ActiveBodies excludes
+    # them and their momentum is never touched, SURVEY C13): make them STATIC
+    # for coloring + setup + solve by zeroing their inverse mass/inertia.
+    # Without this the solver keeps writing velocity into sleepers — advance()
+    # masks their pose update, so the geometry never changes, gravity keeps
+    # loading their awake neighbors, and the un-integrated velocity grows
+    # frame over frame until the body wakes and detonates (observed: settled
+    # 2048-pile KE limit cycle whose growth onset coincides exactly with the
+    # first bodies falling asleep; the 20,480 pile rode the same pump into
+    # pair overflow and explosion).
+    if cfg.sleeping:
+        im0, ii0 = bodies.inv_mass, bodies.inv_inertia
+        asleep = ~state.sleep.awake
+        bodies = bodies.replace(
+            inv_mass=jnp.where(asleep, 0.0, im0),
+            inv_inertia=jnp.where(asleep[:, None], 0.0, ii0),
+        )
     if cfg.persistent_coloring:
         coloring, colors = color_manifolds_cached(
             contacts, bodies, cfg, state.colors)
@@ -72,10 +90,19 @@ def step(state: SimState, cfg: SimConfig):
         spill = con.spill_count
     cache = write_cached_impulses(contacts, acc_world, pseudo_acc)
 
+    if cfg.sleeping:  # restore true mass properties after the solve
+        bodies = bodies.replace(inv_mass=im0, inv_inertia=ii0)
+
     bodies = advance(bodies, state.sleep, cfg)
     if cfg.split_impulse:
         bodies = apply_position_correction(bodies, pseudo, state.sleep, cfg)
-    sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg)
+    # pre-solve fast mask for the wake gate (see update_sleep docstring)
+    fast0 = (
+        (jnp.sum(state.bodies.vel ** 2, -1) > cfg.sleep_lin_vel ** 2)
+        | (jnp.sum(state.bodies.angvel ** 2, -1) > cfg.sleep_ang_vel ** 2)
+    )
+    sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg,
+                                 fast=fast0)
 
     new_state = state.replace(
         bodies=bodies, cache=cache, sleep=sleep, bp=bp, colors=colors,

@@ -26,9 +26,14 @@ _BIG = jnp.iinfo(jnp.int32).max
 
 
 def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
-                 cfg: SimConfig):
+                 cfg: SimConfig, fast=None):
     """Post-solve sleep bookkeeping. Returns (SleepState, Bodies) — bodies'
-    velocities are zeroed when they fall asleep."""
+    velocities are zeroed when they fall asleep.
+
+    `fast` is the PRE-solve "moving above sleep thresholds" mask used to
+    gate waking. It must be pre-solve: an impactor striking a sleeping
+    (solver-static) body has its momentum absorbed by the solve, so its
+    post-solve velocity is ~0 exactly when it most needs to wake the island."""
     if not cfg.sleeping:
         return sleep, bodies
 
@@ -62,9 +67,18 @@ def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
     falls_asleep = candidate & ~(lbl < 0)
     awake = awake & ~falls_asleep
 
-    # --- waking: a live contact from a moving body touches a sleeper, and
-    # the wake flag floods its island through the parked pair list. ---
-    moving = dyn & awake
+    # --- waking: a live contact from a FAST body touches a sleeper, and
+    # the wake flag floods its island through the parked pair list. "Fast"
+    # means above the sleep velocity thresholds PRE-solve: sleeping bodies
+    # are static for the solve, so an idle-slow awake body resting on a
+    # sleeping island is fully supported and must NOT wake it — waking on
+    # any awake contact made sleep boundaries thrash (wake -> idle reset ->
+    # 60-frame requalify) and piles never actually slept. A gently-placed
+    # slow body also does not wake the island (it is statically supported),
+    # matching the reference's parked-pair semantics. ---
+    if fast is None:
+        fast = ~slow
+    moving = dyn & awake & fast
     woken = jnp.zeros((n,), bool)
     woken = woken.at[bb].max(live & moving[ba] & ~awake[bb] & dyn[bb])
     woken = woken.at[ba].max(live & moving[bb] & ~awake[ba] & dyn[ba])

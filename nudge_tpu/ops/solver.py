@@ -189,12 +189,18 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
     # colors < 2^24 are f32-exact; +1 so a join miss (0.0) is unambiguous
     payload = jnp.stack([
         ccache.color.astype(jnp.float32) + 1.0,
-        jnp.zeros_like(zc, dtype=jnp.float32),
+        ccache.dynbits.astype(jnp.float32),
         jnp.zeros_like(zc, dtype=jnp.float32),
     ], axis=-1)
-    hit = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
-                man.ga, man.gb, zm, man.valid)[:, 0]
-    color = jnp.where(man.valid & (hit > 0.5),
+    joined = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
+                   man.ga, man.gb, zm, man.valid)
+    hit = joined[:, 0]
+    # a hit is only trusted if the dyn-mask it was colored under still holds
+    # (a waking body invalidates colors assigned while it slept — see
+    # ColorCache.dynbits); mismatches fall through to the greedy rounds
+    bits = dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32)
+    fresh = joined[:, 1].astype(jnp.int32) == bits
+    color = jnp.where(man.valid & (hit > 0.5) & fresh,
                       hit.astype(jnp.int32) - 1, -1)
 
     # forbidden-color table from the cached assignment
@@ -244,6 +250,7 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
         # spilled manifolds carry under-relaxation, not a real slot — they
         # retry a proper color next frame rather than pinning the spill color
         valid=man.valid & ~spilled,
+        dynbits=dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32),
     )
     return ((color, n_used, relax,
              jnp.sum(spilled.astype(jnp.int32))), new_cache)

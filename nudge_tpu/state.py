@@ -124,6 +124,12 @@ class ColorCache:
     gb: jnp.ndarray        # i32[M]
     color: jnp.ndarray     # i32[M]
     valid: jnp.ndarray     # bool[M]
+    # dyn-mask assumption the color was assigned under (bit0 = side a
+    # dynamic+awake, bit1 = side b). Sleeping bodies are static for the
+    # solve, so two manifolds on one sleeping body may legally share a
+    # color — when the body wakes, those cached colors would conflict.
+    # A join hit is accepted only if the bits still match.
+    dynbits: jnp.ndarray   # i32[M]
 
 
 @struct.dataclass
@@ -197,4 +203,5 @@ def empty_color_cache(cfg: SimConfig) -> ColorCache:
         gb=jnp.zeros((m,), jnp.int32),
         color=jnp.zeros((m,), jnp.int32),
         valid=jnp.zeros((m,), bool),
+        dynbits=jnp.zeros((m,), jnp.int32),
     )

@@ -96,3 +96,35 @@ def test_half_settled_pile_partial_sleep():
     cfg, st, m = run(b, 200)
     awake = np.asarray(st.sleep.awake)
     assert not awake[1] and not awake[2], "settled pair should sleep"
+
+
+def test_sleeper_is_static_for_the_solver():
+    """Regression: the solver must never write velocity into a sleeping
+    body. Pre-fix, a sleeper under load took impulses every frame while
+    advance() masked its pose update — the un-integrated velocity grew
+    without bound and detonated on wake (settled-pile KE limit cycle whose
+    onset coincided with the first bodies falling asleep)."""
+    import jax.numpy as jnp
+
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))   # will be put to sleep
+    b.add_box((0.5, 0.5, 0.5), (0, 1.7, 0))   # awake load on top
+    cfg = b.auto_config(sleeping=True, sleep_frames=10_000)  # nobody sleeps
+    st = b.finalize(cfg)
+    st, _ = simulate(st, cfg, 120)  # settle the two-box stack
+
+    # state surgery: force ONLY the bottom box asleep, keep the top awake
+    st = st.replace(
+        bodies=st.bodies.replace(
+            vel=st.bodies.vel.at[1].set(0.0),
+            angvel=st.bodies.angvel.at[1].set(0.0)),
+        sleep=st.sleep.replace(awake=st.sleep.awake.at[1].set(False)),
+    )
+    st, m = simulate(st, cfg, 100)
+    # the sleeper's velocity stays EXACTLY zero under sustained load
+    np.testing.assert_array_equal(np.asarray(st.bodies.vel[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(st.bodies.angvel[1]), 0.0)
+    # and the slow awake box on top neither wakes it nor destabilizes
+    assert not bool(np.asarray(st.sleep.awake)[1])
+    assert float(np.asarray(m.kinetic_energy)[-1]) < 1.0
