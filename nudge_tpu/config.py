@@ -128,6 +128,12 @@ class SimConfig:
     sleep_ang_vel: float = 0.10     # |ω| threshold
     sleep_frames: int = 60          # idle frames before a body may sleep
     island_sweeps: int = 8          # label-propagation rounds for island grouping
+    # wake hysteresis: a contact only wakes a sleeper if the toucher moves
+    # faster than wake_factor x the sleep thresholds PRE-solve. Settled piles
+    # keep a few residual jigglers slightly above the sleep threshold; at
+    # 1x they would re-wake their sleeping neighbors every step and the pile
+    # never finishes falling asleep. Real impacts arrive well above this.
+    wake_factor: float = 4.0
 
 
     @property

@@ -49,7 +49,37 @@ class StepMetrics:
 
 
 def step(state: SimState, cfg: SimConfig):
-    """One simulation step. Returns (new_state, StepMetrics)."""
+    """One simulation step. Returns (new_state, StepMetrics).
+
+    With sleeping enabled, a scene whose every dynamic body is asleep skips
+    the entire contact pipeline under `lax.cond` — the reference gets the
+    same endgame for free by iterating only ActiveBodies (SURVEY C13).
+    Nothing inside the engine can wake an all-asleep scene (waking needs a
+    fast body or user surgery), so the skip is exact, and settled scenes
+    step at no-op cost."""
+    if cfg.sleeping:
+        any_awake = jnp.any(state.sleep.awake & state.bodies.dynamic)
+        return jax.lax.cond(
+            any_awake,
+            lambda st: _step_active(st, cfg),
+            lambda st: _step_parked(st, cfg),
+            state,
+        )
+    return _step_active(state, cfg)
+
+
+def _step_parked(state: SimState, cfg: SimConfig):
+    """All-asleep fast path: state unchanged except the step counter."""
+    z_i = jnp.zeros((), jnp.int32)
+    z_f = jnp.zeros((), jnp.float32)
+    metrics = StepMetrics(
+        contact_count=z_i, max_depth=z_f, spill_count=z_i,
+        overflow=jnp.zeros((), bool), awake_count=z_i, kinetic_energy=z_f,
+    )
+    return state.replace(step_count=state.step_count + 1), metrics
+
+
+def _step_active(state: SimState, cfg: SimConfig):
     bodies = apply_gravity(state.bodies, state.sleep, cfg)
 
     contacts, bp = collide(state, cfg)
@@ -96,10 +126,13 @@ def step(state: SimState, cfg: SimConfig):
     bodies = advance(bodies, state.sleep, cfg)
     if cfg.split_impulse:
         bodies = apply_position_correction(bodies, pseudo, state.sleep, cfg)
-    # pre-solve fast mask for the wake gate (see update_sleep docstring)
+    # pre-solve fast mask for the wake gate (see update_sleep docstring);
+    # wake_factor hysteresis keeps residual settled-pile jigglers from
+    # re-waking their sleeping neighbors every step
+    wf2 = cfg.wake_factor ** 2
     fast0 = (
-        (jnp.sum(state.bodies.vel ** 2, -1) > cfg.sleep_lin_vel ** 2)
-        | (jnp.sum(state.bodies.angvel ** 2, -1) > cfg.sleep_ang_vel ** 2)
+        (jnp.sum(state.bodies.vel ** 2, -1) > wf2 * cfg.sleep_lin_vel ** 2)
+        | (jnp.sum(state.bodies.angvel ** 2, -1) > wf2 * cfg.sleep_ang_vel ** 2)
     )
     sleep, bodies = update_sleep(bodies, contacts, state.sleep, cfg,
                                  fast=fast0)

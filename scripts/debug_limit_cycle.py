@@ -44,15 +44,21 @@ def probe(st, cfg):
         zm = jnp.zeros((man.ga.shape[0],), jnp.int32)
         payload = jnp.stack([
             cc.color.astype(jnp.float32) + 1.0,
-            jnp.zeros_like(zc, dtype=jnp.float32),
+            cc.dynbits.astype(jnp.float32),
             jnp.zeros_like(zc, dtype=jnp.float32),
         ], axis=-1)
-        hit = _join(cc.ga, cc.gb, zc, payload, cc.valid,
-                    man.ga, man.gb, zm, man.valid)[:, 0]
-        color = jnp.where(man.valid & (hit > 0.5),
+        joined = _join(cc.ga, cc.gb, zc, payload, cc.valid,
+                       man.ga, man.gb, zm, man.valid)
+        hit = joined[:, 0]
+        # mirror the engine: sleepers are solver-static, and hits are only
+        # trusted when the dyn-mask they were colored under still holds
+        dyn = (state.bodies.inv_mass > 0.0) & state.sleep.awake
+        bits = (dyn[man.body_a].astype(jnp.int32)
+                + 2 * dyn[man.body_b].astype(jnp.int32))
+        fresh = joined[:, 1].astype(jnp.int32) == bits
+        color = jnp.where(man.valid & (hit > 0.5) & fresh,
                           hit.astype(jnp.int32) - 1, -1)
         ok = color >= 0
-        dyn = state.bodies.inv_mass > 0.0
         n = state.bodies.pos.shape[0]
         ncolors = jnp.max(color) + 1
         size = cfg.max_colors * n
