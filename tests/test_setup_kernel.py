@@ -95,3 +95,21 @@ def test_fused_rollout_settles():
     pos = np.asarray(st.bodies.pos[1])
     assert abs(pos[1] - 0.5) < 0.02
     assert float(np.asarray(m.kinetic_energy[-1])) < 1e-4
+
+
+def test_fused_rollout_sleeps():
+    """Kernel-path rollout with sleeping: sleeper-as-static masking, the
+    dynbits color-cache guard, and the all-asleep lax.cond fast path all
+    execute through the fused Pallas dispatch (interpret mode)."""
+    b = SceneBuilder()
+    b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))
+    b.add_box((0.5, 0.5, 0.5), (0, 1.7, 0))
+    cfg = b.auto_config(solver="pallas_interpret", sleeping=True,
+                        sleep_frames=20)
+    st, m = simulate(b.finalize(cfg), cfg, 200)
+    m = jax.tree.map(np.asarray, m)
+    assert m.awake_count[-1] == 0, "stack should be fully asleep"
+    np.testing.assert_array_equal(np.asarray(st.bodies.vel[1:3]), 0.0)
+    assert abs(float(st.bodies.pos[2, 1]) - 1.5) < 0.05
+    assert not m.overflow.any()
