@@ -61,7 +61,12 @@ def setup_contact_constraints(bodies: Bodies, contacts: Manifolds,
     """Precompute constraint data, apply warm-start impulses. Returns
     (ContactConstraints, Bodies, accumulators) — the accumulators play the
     role of the impulse state inside the reference's opaque
-    ContactConstraintData."""
+    ContactConstraintData.
+
+    With sleeping enabled, zero the inverse mass/inertia of sleeping bodies
+    before calling (the reference's ActiveBodies exclusion): the solver must
+    treat sleepers as static or their un-integrated velocity grows without
+    bound. `engine.step` does this automatically."""
     return _solver.setup_constraints(bodies, contacts, impulses, cfg,
                                      pwarm=pwarm)
 
