@@ -104,8 +104,6 @@ def test_sleeper_is_static_for_the_solver():
     advance() masked its pose update — the un-integrated velocity grew
     without bound and detonated on wake (settled-pile KE limit cycle whose
     onset coincided with the first bodies falling asleep)."""
-    import jax.numpy as jnp
-
     b = SceneBuilder()
     b.add_static_box((50, 0.5, 50), (0, -0.5, 0))
     b.add_box((0.5, 0.5, 0.5), (0, 0.6, 0))   # will be put to sleep
@@ -128,3 +126,45 @@ def test_sleeper_is_static_for_the_solver():
     # and the slow awake box on top neither wakes it nor destabilizes
     assert not bool(np.asarray(st.sleep.awake)[1])
     assert float(np.asarray(m.kinetic_energy)[-1]) < 1.0
+
+
+@pytest.mark.slow
+def test_impact_on_sleeping_pile_wakes_absorbs_resleeps():
+    """Wake quality at scale: drop a heavy box onto a fully/mostly sleeping
+    pile. The island must wake locally, absorb the impact without capacity
+    overflow or energy blow-up (cold warm-start on wake is by design —
+    parked pairs lose their cache rows, like the reference), and go back to
+    sleep."""
+    from nudge_tpu.scenes import scene_pile
+
+    b = scene_pile(128, seed=5)
+    # impactor added last: heavy, parked high above the pile. add_box returns
+    # the body index (bodies are padded to cfg.max_bodies in finalize, so
+    # st.bodies.n - 1 would be a padding slot, NOT the impactor).
+    imp = b.add_box((0.6, 0.6, 0.6), (0.0, 14.0, 0.0), mass=8.0)
+    cfg = b.auto_config(sleeping=True, persistent_broadphase=True,
+                        max_box_box_pairs=5 * 129, max_manifolds=2 * 129,
+                        grid_density=16)
+    st = b.finalize(cfg)
+    # park the impactor ASLEEP mid-air (sleepers do not integrate) so the
+    # pile can fully settle and sleep under it first
+    st = st.replace(sleep=st.sleep.replace(
+        awake=st.sleep.awake.at[imp].set(False)))
+
+    st, m1 = simulate(st, cfg, 400)  # pile settles and falls asleep
+    m1 = jax.tree.map(np.asarray, m1)
+    assert m1.awake_count[-1] <= 13, "pile should be (nearly) asleep"
+
+    # release the impactor: it free-falls ~7 units onto the sleeping pile
+    st = st.replace(sleep=st.sleep.replace(
+        awake=st.sleep.awake.at[imp].set(True)))
+    st, m2 = simulate(st, cfg, 500)  # impact + absorb + resettle + resleep
+    m2 = jax.tree.map(np.asarray, m2)
+
+    assert not m1.overflow.any() and not m2.overflow.any()
+    assert np.isfinite(np.asarray(st.bodies.pos)).all()
+    # the impact woke part of the pile...
+    assert m2.awake_count.max() >= 5, "impact should wake the local island"
+    # ...and it quiesced again: nearly everyone asleep, KE tiny
+    assert m2.awake_count[-1] <= 13  # <10% of the pile
+    assert m2.kinetic_energy[-1] < 1.0
