@@ -22,11 +22,35 @@ import argparse
 import json
 import os
 import subprocess
+import sys
 import time
 
 from nudge_tpu.utils.platform import enable_compilation_cache
 
 enable_compilation_cache()
+
+
+def probe_backend(timeout_s: float = 240.0) -> str:
+    """Bounded ambient-backend probe. The axon TPU relay can wedge so hard
+    that jax.devices() blocks forever (observed 2026-08-17); a hung bench
+    emits no JSON line at all, which is strictly worse than an honestly
+    labeled CPU number. Probe device discovery in a subprocess with a
+    timeout; on failure force the host CPU backend and say so in the
+    output. NUDGE_CPU=1 skips the probe and benches the CPU directly."""
+    from nudge_tpu.utils.platform import force_cpu
+
+    if os.environ.get("NUDGE_CPU"):
+        force_cpu()
+        return "cpu(NUDGE_CPU=1)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            check=True, capture_output=True, timeout=timeout_s, text=True)
+        return out.stdout.strip() or "ambient"
+    except Exception:
+        force_cpu()
+        return "cpu-fallback(backend unreachable)"
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -187,6 +211,8 @@ def main():
     ap.add_argument("--vbatch-steps", type=int, default=25)
     args = ap.parse_args()
 
+    platform = probe_backend()
+
     if args.vbatch:
         r = bench_scene_batch(args.scenes, args.scene_bodies,
                               steps=args.vbatch_steps)
@@ -196,6 +222,7 @@ def main():
             "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
             "vs_baseline": None,
+            "platform": platform,
             "detail": r,
         }))
         return
@@ -207,6 +234,7 @@ def main():
             "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
             "vs_baseline": None,
+            "platform": platform,
             "detail": r,
         }))
         return
@@ -222,6 +250,7 @@ def main():
         "value": r["steps_per_sec"],
         "unit": "steps/sec",
         "vs_baseline": vs,
+        "platform": platform,
         "detail": {"tpu": r, "cpu_baseline": base},
     }
     if args.all:
