@@ -340,6 +340,26 @@ static void step(World& w, WarmCache& cache) {
     }
   }
 
+  // Sleepers are solver-static (upstream removes them from ActiveBodies):
+  // zero effective inverse mass/inertia so the solve can't pump velocity
+  // into a body whose integration is masked. Same fix as nudge_tpu
+  // engine._step_active.
+  auto em = [&](int i) { return w.awake[i] ? w.inv_mass[i] : 0.f; };
+  auto ei = [&](int i) { return w.awake[i] ? w.inv_inertia[i] : V3{0,0,0}; };
+
+  // pre-solve "fast" mask for the wake gate (hysteresis factor 4; an
+  // idle-slow awake body resting on a sleeping island must not wake it,
+  // or sleep boundaries thrash and the pile never sleeps)
+  static std::vector<char> fastv;
+  fastv.assign(w.n, 0);
+  {
+    const float wf = 4.f * w.sleep_vel;
+    for (int i=0;i<w.n;i++) {
+      float v2 = dot(w.vel[i], w.vel[i]) + dot(w.angvel[i], w.angvel[i]);
+      fastv[i] = w.inv_mass[i] > 0 && w.awake[i] && v2 > wf*wf;
+    }
+  }
+
   // gravity
   for (int i=0;i<w.n;i++) if (w.inv_mass[i]>0 && w.awake[i]) w.vel[i].y += w.gravity * w.dt;
 
@@ -357,9 +377,9 @@ static void step(World& w, WarmCache& cache) {
     M3 Raq = qmat(w.quat[c.a]), Rbq = qmat(w.quat[c.b]);
     auto eff = [&](V3 d, V3& ja, V3& jb) {
       V3 rna = cross(k.ra, d), rnb = cross(k.rb, d);
-      ja = inv_inertia_world(Raq, w.inv_inertia[c.a], rna);
-      jb = inv_inertia_world(Rbq, w.inv_inertia[c.b], rnb);
-      float kk = w.inv_mass[c.a] + w.inv_mass[c.b] + dot(rna, ja) + dot(rnb, jb);
+      ja = inv_inertia_world(Raq, ei(c.a), rna);
+      jb = inv_inertia_world(Rbq, ei(c.b), rnb);
+      float kk = em(c.a) + em(c.b) + dot(rna, ja) + dot(rnb, jb);
       return kk > 0 ? 1.f/kk : 0.f;
     };
     k.mn = eff(nn, k.jna, k.jnb);
@@ -373,8 +393,8 @@ static void step(World& w, WarmCache& cache) {
     k.lt2 = std::min(std::max(dot(P,t2), -bound), bound);
     // apply warm impulse
     V3 Pw = nn*k.ln + t1*k.lt1 + t2*k.lt2;
-    w.vel[c.a] = w.vel[c.a] - Pw * w.inv_mass[c.a];
-    w.vel[c.b] = w.vel[c.b] + Pw * w.inv_mass[c.b];
+    w.vel[c.a] = w.vel[c.a] - Pw * em(c.a);
+    w.vel[c.b] = w.vel[c.b] + Pw * em(c.b);
     w.angvel[c.a] = w.angvel[c.a] - (k.jna*k.ln + k.jt1a*k.lt1 + k.jt2a*k.lt2);
     w.angvel[c.b] = w.angvel[c.b] + (k.jnb*k.ln + k.jt1b*k.lt1 + k.jt2b*k.lt2);
     ccs.push_back(k);
@@ -398,8 +418,8 @@ static void step(World& w, WarmCache& cache) {
         float n2 = std::min(std::max(k.lt2 - vt2*k.mt2, -bound), bound);
         float dl2 = n2 - k.lt2; k.lt2 = n2;
         V3 P = k.n*dln + k.t1*dl1 + k.t2*dl2;
-        w.vel[k.a] = w.vel[k.a] - P * w.inv_mass[k.a];
-        w.vel[k.b] = w.vel[k.b] + P * w.inv_mass[k.b];
+        w.vel[k.a] = w.vel[k.a] - P * em(k.a);
+        w.vel[k.b] = w.vel[k.b] + P * em(k.b);
         w.angvel[k.a] = w.angvel[k.a] - (k.jna*dln + k.jt1a*dl1 + k.jt2a*dl2);
         w.angvel[k.b] = w.angvel[k.b] + (k.jnb*dln + k.jt1b*dl1 + k.jt2b*dl2);
       }
@@ -429,7 +449,7 @@ static void step(World& w, WarmCache& cache) {
   slot_of.clear(); slot_of.reserve(ccs.size());
   for (size_t ci = 0; ci < ccs.size(); ci++) {
     const CC& k = ccs[ci];
-    bool dyn_a = w.inv_mass[k.a] > 0, dyn_b = w.inv_mass[k.b] > 0;
+    bool dyn_a = em(k.a) > 0, dyn_b = em(k.b) > 0;
     uint32_t lo_ok = 0;                     // min admissible batch index + 1
     if (dyn_a) lo_ok = std::max(lo_ok, busy[k.a]);
     if (dyn_b) lo_ok = std::max(lo_ok, busy[k.b]);
@@ -451,7 +471,7 @@ static void step(World& w, WarmCache& cache) {
       dsts[q][0][l] = v3s[q]->x; dsts[q][1][l] = v3s[q]->y; dsts[q][2][l] = v3s[q]->z;
     }
     B.mn[l] = k.mn; B.mt1[l] = k.mt1; B.mt2[l] = k.mt2; B.bias[l] = k.bias;
-    B.ima[l] = w.inv_mass[k.a]; B.imb[l] = w.inv_mass[k.b];
+    B.ima[l] = em(k.a); B.imb[l] = em(k.b);
     B.ln[l] = k.ln; B.lt1[l] = k.lt1; B.lt2[l] = k.lt2;
     slot_of.push_back(target * 8 + l);
   }
@@ -583,10 +603,12 @@ static void step(World& w, WarmCache& cache) {
 
 integrate:
 
-  // wake: a contact from a moving body reactivates a sleeper
+  // wake: a contact from a PRE-SOLVE-fast body reactivates a sleeper
+  // (any-awake-contact waking thrashes sleep boundaries and the pile
+  // never sleeps; sleepers are statically supporting slow neighbors)
   for (auto& c : contacts) {
-    bool mov_a = w.inv_mass[c.a] > 0 && w.awake[c.a];
-    bool mov_b = w.inv_mass[c.b] > 0 && w.awake[c.b];
+    bool mov_a = w.inv_mass[c.a] > 0 && w.awake[c.a] && fastv[c.a];
+    bool mov_b = w.inv_mass[c.b] > 0 && w.awake[c.b] && fastv[c.b];
     if (mov_a && w.inv_mass[c.b] > 0 && !w.awake[c.b]) { w.awake[c.b] = 1; w.idle[c.b] = 0; }
     if (mov_b && w.inv_mass[c.a] > 0 && !w.awake[c.a]) { w.awake[c.a] = 1; w.idle[c.a] = 0; }
   }
@@ -649,14 +671,15 @@ int main(int argc, char** argv) {
   auto t1 = std::chrono::steady_clock::now();
   double dt = std::chrono::duration<double>(t1-t0).count();
 
-  double maxy = 0; bool finite = true;
+  double maxy = 0; bool finite = true; int awake = 0;
   for (int i=1;i<w.n;i++) {
     if (!std::isfinite(w.pos[i].y)) finite = false;
     maxy = std::max(maxy, (double)w.pos[i].y);
+    if (w.inv_mass[i] > 0 && w.awake[i]) awake++;
   }
   printf("{\"engine\": \"nudge_ref_cpp\", \"bodies\": %d, \"steps\": %d, "
          "\"steps_per_sec\": %.2f, \"body_steps_per_sec\": %.0f, "
-         "\"max_y\": %.2f, \"finite\": %s}\n",
-         n, steps, steps/dt, n*steps/dt, maxy, finite ? "true" : "false");
+         "\"max_y\": %.2f, \"awake\": %d, \"finite\": %s}\n",
+         n, steps, steps/dt, n*steps/dt, maxy, awake, finite ? "true" : "false");
   return 0;
 }

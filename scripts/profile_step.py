@@ -51,6 +51,12 @@ def timeit(name, fn, *args, reps=20):
 
 
 def main(n=2048, reps=20):
+    # TPU timing tool; off-TPU the kernels only run in interpret mode, so
+    # fall back to it (timings then measure the interpreter, not hardware)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        print("(non-TPU backend: Pallas stages run in interpret mode — "
+              "use these numbers for shape/plumbing checks only)")
     b = scene_pile(n)
     mcap = max(512, int(n * 2.0))
     pcap = max(1024, int(n * 4.0))
@@ -69,7 +75,7 @@ def main(n=2048, reps=20):
     m_count = man.normal.shape[0]
     slot, mpad = color_slots(color, man, bodies, cfg)
     velw, con_f, acc_f, pacc_f, win = setup_pallas(
-        bodies, man, warm, relax, slot, mpad, cfg)
+        bodies, man, warm, relax, slot, mpad, cfg, interpret=interp)
 
     total = 0.0
     total += timeit("collide (bp+np+compact)",
@@ -89,11 +95,12 @@ def main(n=2048, reps=20):
                     bodies, man, warm, relax, slot, reps=reps)
     total += timeit("setup kernel (incl pack)",
                     jax.jit(lambda bd, mn, w, r, s: checksum(
-                        setup_pallas(bd, mn, w, r, s, mpad, cfg)[:3])),
+                        setup_pallas(bd, mn, w, r, s, mpad, cfg,
+                                     interpret=interp)[:3])),
                     bodies, man, warm, relax, slot, reps=reps)
     total += timeit("solve kernel",
                     jax.jit(lambda v, c, a, w: checksum(
-                        solve_packed(v, c, a, w, cfg))),
+                        solve_packed(v, c, a, w, cfg, interpret=interp))),
                     velw, con_f, acc_f, win, reps=reps)
     total += timeit("cache write",
                     jax.jit(lambda mn, w: checksum(
