@@ -178,6 +178,42 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
     }
 
 
+def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
+                     scenes_per_chunk: int = 64):
+    """Config 5 on the KERNEL path: flattened mega-scene chunks stepped with
+    lax.map — the unbatched step per chunk keeps the Pallas setup/solve
+    kernels in play (scenes.scene_pile_megachunks)."""
+    from nudge_tpu.parallel.mesh import megabatch_simulate
+    from nudge_tpu.scenes import scene_pile_batch, scene_pile_megachunks
+
+    spc = min(scenes_per_chunk, n_scenes)
+    n_chunks = max(1, n_scenes // spc)
+    proto = scene_pile_batch(spc, bodies)
+    n = proto.num_bodies
+    cfg = tuned_config(proto, n)
+    batch, _ = scene_pile_megachunks(n_chunks, spc, bodies, cfg=cfg)
+    sim = megabatch_simulate(cfg, steps)
+    dt = None
+    m = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch, m = sim(batch)
+        np.asarray(batch.bodies.pos[0, 0])
+        dt = time.perf_counter() - t0
+    m = jax.tree.map(np.asarray, m)
+    total_bodies = n_chunks * spc * bodies
+    return {
+        "scenes": n_chunks * spc,
+        "bodies_per_scene": bodies,
+        "chunks": n_chunks,
+        "scenes_per_chunk": spc,
+        "steps_per_sec": round(steps / dt, 3),
+        "body_steps_per_sec": round(steps / dt * total_bodies),
+        "contacts_mean": float(m.contact_count.mean()),
+        "overflow": bool(m.overflow.any()),
+    }
+
+
 def cpu_baseline(n_bodies: int, steps: int = 100):
     """Build (if needed) and run the C++ reference engine."""
     exe = os.path.join(_NATIVE, "nudge_ref")
@@ -206,12 +242,31 @@ def main():
     ap.add_argument("--batch", action="store_true")
     ap.add_argument("--vbatch", action="store_true",
                     help="config 5: stacked vmap batch (scenes x bodies)")
+    ap.add_argument("--megachunk", action="store_true",
+                    help="config 5: flattened mega-scene chunks (kernel path)")
+    ap.add_argument("--scenes-per-chunk", type=int, default=64)
     ap.add_argument("--scenes", type=int, default=4096)
     ap.add_argument("--scene-bodies", type=int, default=512)
     ap.add_argument("--vbatch-steps", type=int, default=25)
     args = ap.parse_args()
 
     platform = probe_backend()
+
+    if args.megachunk:
+        r = bench_megachunks(args.scenes, args.scene_bodies,
+                             steps=args.vbatch_steps,
+                             scenes_per_chunk=args.scenes_per_chunk)
+        print(json.dumps({
+            "metric": (f"body-steps/sec, {r['scenes']} scenes x "
+                       f"{args.scene_bodies} bodies (mega-scene chunks, "
+                       f"kernel path)"),
+            "value": r["body_steps_per_sec"],
+            "unit": "body-steps/sec/chip",
+            "vs_baseline": None,
+            "platform": platform,
+            "detail": r,
+        }))
+        return
 
     if args.vbatch:
         r = bench_scene_batch(args.scenes, args.scene_bodies,

@@ -95,6 +95,26 @@ def batched_simulate(cfg: SimConfig, steps: int, donate: bool = True):
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
+def megabatch_simulate(cfg: SimConfig, steps: int, donate: bool = True):
+    """Multi-step rollout of a stack of FLATTENED mega-scenes
+    (scenes.scene_pile_megachunks): `lax.map(step)` over the leading chunk
+    axis — the map body is the unbatched step, so the Pallas setup/solve
+    kernels run as-is per chunk (vmap would exclude them; see
+    batched_step_chunked). Returns (state, final-step metrics per chunk)."""
+
+    def run(state_b):
+        body = partial(step, cfg=cfg)
+
+        def f(st, _):
+            new, _ = jax.lax.map(body, st)
+            return new, None
+
+        state_b, _ = jax.lax.scan(f, state_b, None, length=steps - 1)
+        return jax.lax.map(body, state_b)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def batched_simulate_chunked(cfg: SimConfig, steps: int, n_chunks: int,
                              donate: bool = True):
     """Multi-step rollout with the chunked step (see batched_step_chunked).

@@ -320,6 +320,53 @@ def scene_pile_batch(n_scenes: int, bodies_per_scene: int,
     return b
 
 
+def scene_pile_megachunks(n_chunks: int, scenes_per_chunk: int,
+                          bodies_per_scene: int, cfg: SimConfig = None,
+                          seed: int = 0):
+    """BASELINE config 5 as `n_chunks` FLATTENED mega-scenes stacked on a
+    leading chunk axis: each chunk is one scene_pile_batch mega-scene
+    (scenes_per_chunk independent piles, block-diagonal contact graph).
+
+    This is the kernel-path batching for huge scene counts: stepping the
+    stack with `lax.map(step)` (parallel.mesh.megabatch_simulate) runs the
+    UNBATCHED step per chunk, so the Pallas setup/solve kernels execute
+    as-is — each chunk sized to their VMEM-resident limit — while the
+    flattened layout amortizes per-op overhead inside the chunk. (vmap(step)
+    instead would keep every op per-scene-small and exclude the kernels;
+    see batched_step_chunked's docstring for that trade.)
+
+    Builds ONE template mega-scene and decorrelates chunks with per-chunk
+    jitter on the dynamic bodies (one upload per leaf, like
+    scene_pile_stacked). Returns (stacked SimState, cfg)."""
+    import jax
+
+    b = scene_pile_batch(scenes_per_chunk, bodies_per_scene, seed=seed)
+    if cfg is None:
+        cfg = b.auto_config()
+    st0 = b.finalize(cfg)
+    host = jax.tree.map(np.asarray, st0)
+
+    rng = np.random.default_rng(seed + 1)
+    n_dyn = b.num_bodies - 1          # body 0 is the static ground slab
+    pos = np.broadcast_to(host.bodies.pos,
+                          (n_chunks,) + host.bodies.pos.shape).copy()
+    pos[:, 1:1 + n_dyn, 0] += rng.uniform(-0.05, 0.05, (n_chunks, n_dyn))
+    pos[:, 1:1 + n_dyn, 2] += rng.uniform(-0.05, 0.05, (n_chunks, n_dyn))
+    quat = np.broadcast_to(host.bodies.quat,
+                           (n_chunks,) + host.bodies.quat.shape).copy()
+    dq = rng.uniform(-0.02, 0.02, (n_chunks, n_dyn, 3))
+    quat[:, 1:1 + n_dyn, 0:3] += dq
+    quat[:, 1:1 + n_dyn] /= np.linalg.norm(
+        quat[:, 1:1 + n_dyn], axis=-1, keepdims=True)
+
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(
+            np.broadcast_to(x, (n_chunks,) + x.shape)), host)
+    batch = batch.replace(bodies=batch.bodies.replace(
+        pos=jnp.asarray(pos), quat=jnp.asarray(quat)))
+    return batch, cfg
+
+
 def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
                seed: int = 0, spacing: float = 1.15):
     """BASELINE configs 3 & 4: jittered grid of falling bodies above ground.

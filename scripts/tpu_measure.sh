@@ -27,8 +27,11 @@ run bench_c4 python bench.py --bodies 20480 --steps 100
 # 3. config 3 (2,048 mixed pile path exercised via pile; bench --all adds it)
 run bench_2048 python bench.py --bodies 2048 --steps 100
 
-# 4. config 5 full scale: 4096 scenes x 512 bodies, chunked vmap
+# 4. config 5 full scale: 4096 scenes x 512 bodies, chunked vmap (XLA path)
 run bench_c5 python bench.py --vbatch --scenes 4096 --scene-bodies 512
+
+# 4b. config 5 on the kernel path: flattened mega-scene chunks
+run bench_c5_mega python bench.py --megachunk --scenes 4096 --scene-bodies 512
 
 # 5. fidelity: 20,480 settled trajectory with sleeping (awake trend, KE,
 #    overflow) — the post-sleep-fix validation that was pending TPU

@@ -120,3 +120,26 @@ def test_chunked_step_matches_unchunked():
                                   np.asarray(out.bodies.pos))
     np.testing.assert_array_equal(np.asarray(mref.contact_count),
                                   np.asarray(mout.contact_count))
+
+
+def test_megachunk_rollout_matches_per_chunk():
+    """megabatch_simulate (lax.map over flattened mega-scene chunks — the
+    kernel-path config-5 batching) must equal simulating each chunk alone."""
+    from nudge_tpu.engine import simulate
+    from nudge_tpu.parallel.mesh import megabatch_simulate
+    from nudge_tpu.scenes import scene_pile_megachunks
+
+    batch, cfg = scene_pile_megachunks(3, 2, 8, seed=2)
+    steps = 10
+    rolled, m = megabatch_simulate(cfg, steps, donate=False)(batch)
+
+    for c in range(3):
+        solo = jax.tree.map(lambda x: x[c], batch)
+        ref, mref = simulate(solo, cfg, steps)
+        np.testing.assert_array_equal(np.asarray(rolled.bodies.pos)[c],
+                                      np.asarray(ref.bodies.pos))
+        assert int(np.asarray(m.contact_count)[c]) == int(
+            np.asarray(mref.contact_count)[-1])
+    # chunks are decorrelated (jitter applied)
+    assert not np.array_equal(np.asarray(rolled.bodies.pos)[0],
+                              np.asarray(rolled.bodies.pos)[1])
