@@ -97,12 +97,38 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
     np.asarray(st.bodies.pos)
     impact_dt = time.perf_counter() - t0
 
+    # settle to steady state. With sleeping on, sleep onset takes O(1000)
+    # steps at 2048+ bodies and avalanche pockets keep re-waking stragglers
+    # (docs/PERF_NOTES.md "friction-convergence creep") — a fixed short
+    # settle measures a transient. Keep settling until the awake count has
+    # stopped falling for two consecutive chunks (cap 25 chunks).
+    settle_steps = 2 * steps   # compile + impact windows above
+    if reference_mode:
+        # settle chunks span >= 2 sleep-qualification windows (sleep_frames
+        # = 60) so the awake count can actually move between observations;
+        # a plateau only counts once sleep onset has begun (< 90% awake),
+        # or the post-impact all-awake phase reads as steady.
+        s = max(steps, 120)
+        prev, flat = None, 0
+        for _ in range(25):
+            st, m = simulate(st, cfg, s)
+            aw = int(np.asarray(m.awake_count)[-1])
+            settle_steps += s
+            onset = aw < 0.9 * n_bodies
+            flat = flat + 1 if (onset and prev is not None
+                                and aw >= prev) else 0
+            prev = aw
+            if aw == 0 or flat >= 2:
+                break
+
     dt = None
     for i in range(chunks):
         t0 = time.perf_counter()
         st, m = simulate(st, cfg, steps)
         np.asarray(st.bodies.pos)
         dt = time.perf_counter() - t0
+        if i < chunks - 1:
+            settle_steps += steps
     m = jax.tree.map(np.asarray, m)
     ke = m.kinetic_energy
     return {
@@ -114,6 +140,7 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
         "ke_start": round(float(ke[0]), 2),
         "ke_end": round(float(ke[-1]), 2),
         "awake": int(m.awake_count[-1]),
+        "settle_steps": settle_steps,
         "sleeping_mode": reference_mode,
         "overflow": bool(m.overflow.any()),
         "spill": int(m.spill_count.max()),
@@ -214,18 +241,18 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
     }
 
 
-def cpu_baseline(n_bodies: int, steps: int = 100):
-    """Build (if needed) and run the C++ reference engine."""
+def cpu_baseline(n_bodies: int, steps: int = 100, settle: int = 600):
+    """Build (if needed) and run the C++ reference engine. `settle` should
+    match the TPU side's total pre-measurement steps so both engines are
+    timed in the same sleep steady state."""
     exe = os.path.join(_NATIVE, "nudge_ref")
     try:
         if not os.path.exists(exe):
             subprocess.run(["make", "-C", _NATIVE], check=True,
                            capture_output=True, timeout=120)
         out = subprocess.run(
-            # settle window matched to the TPU side (compile+impact+settle
-            # chunks = ~600 steps before the measured window)
-            [exe, str(n_bodies), str(steps), "600"],
-            capture_output=True, timeout=1200, text=True, check=True,
+            [exe, str(n_bodies), str(steps), str(settle)],
+            capture_output=True, timeout=2400, text=True, check=True,
         )
         return json.loads(out.stdout.strip())
     except Exception:
@@ -296,7 +323,8 @@ def main():
 
     r = bench_pile(args.bodies, args.steps,
                    reference_mode=not args.no_reference_mode)
-    base = cpu_baseline(args.bodies)
+    # native settles the same total number of pre-measurement steps
+    base = cpu_baseline(args.bodies, settle=r.get("settle_steps", 600))
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
           if base else None)
     out = {
