@@ -95,12 +95,19 @@ def batched_simulate(cfg: SimConfig, steps: int, donate: bool = True):
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
-def megabatch_simulate(cfg: SimConfig, steps: int, donate: bool = True):
+def megabatch_simulate(cfg: SimConfig, steps: int, donate: bool = True,
+                       mesh: Mesh = None):
     """Multi-step rollout of a stack of FLATTENED mega-scenes
     (scenes.scene_pile_megachunks): `lax.map(step)` over the leading chunk
     axis — the map body is the unbatched step, so the Pallas setup/solve
     kernels run as-is per chunk (vmap would exclude them; see
-    batched_step_chunked). Returns (state, final-step metrics per chunk)."""
+    batched_step_chunked). Returns (state, final-step metrics per chunk).
+
+    With `mesh`, the chunk axis is split over SCENE_AXIS via shard_map:
+    each device loops over its LOCAL chunks (a plain jit of lax.map over a
+    sharded axis would serialize globally — the sequential loop cannot be
+    partitioned by the compiler). Chunks are independent mega-scenes, so no
+    collectives are generated. n_chunks must divide by the mesh size."""
 
     def run(state_b):
         body = partial(step, cfg=cfg)
@@ -112,6 +119,10 @@ def megabatch_simulate(cfg: SimConfig, steps: int, donate: bool = True):
         state_b, _ = jax.lax.scan(f, state_b, None, length=steps - 1)
         return jax.lax.map(body, state_b)
 
+    if mesh is not None:
+        spec = P(SCENE_AXIS)   # leading chunk dim; rest replicated per leaf
+        run = jax.shard_map(run, mesh=mesh, in_specs=spec,
+                            out_specs=(spec, spec), check_vma=False)
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 

@@ -143,3 +143,22 @@ def test_megachunk_rollout_matches_per_chunk():
     # chunks are decorrelated (jitter applied)
     assert not np.array_equal(np.asarray(rolled.bodies.pos)[0],
                               np.asarray(rolled.bodies.pos)[1])
+
+
+def test_megachunk_sharded_over_mesh(mesh8):
+    """megabatch_simulate(mesh=...) splits the chunk axis over the mesh via
+    shard_map (each device loops its local chunks) and matches the
+    single-device result."""
+    from nudge_tpu.parallel.mesh import megabatch_simulate
+    from nudge_tpu.scenes import scene_pile_megachunks
+
+    batch, cfg = scene_pile_megachunks(8, 2, 8, seed=4)
+    ref, mref = megabatch_simulate(cfg, 6, donate=False)(batch)
+
+    sharded = shard_scene_batch(batch, mesh8)   # leading axis = chunks here
+    out, m = megabatch_simulate(cfg, 6, donate=False, mesh=mesh8)(sharded)
+    assert len(out.bodies.pos.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(ref.bodies.pos),
+                                  np.asarray(out.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(mref.contact_count),
+                                  np.asarray(m.contact_count))
