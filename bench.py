@@ -131,6 +131,18 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
             settle_steps += steps
     m = jax.tree.map(np.asarray, m)
     ke = m.kinetic_energy
+
+    # long-window number: per-call dispatch (~30 ms through the relay)
+    # dominates short windows once the scene sleeps; a 1000-step scan is
+    # what a real rollout amortizes to
+    sps_1k = None
+    if reference_mode:
+        st, _ = simulate(st, cfg, 1000)   # compile pass (scan length is a
+        np.asarray(st.bodies.pos)         # parameter but the jit cache keys
+        t0 = time.perf_counter()          # on the static arg)
+        st, _ = simulate(st, cfg, 1000)
+        np.asarray(st.bodies.pos)
+        sps_1k = round(1000 / (time.perf_counter() - t0), 2)
     return {
         "steps_per_sec": round(steps / dt, 2),
         "impact_steps_per_sec": round(steps / impact_dt, 2),
@@ -141,6 +153,7 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
         "ke_end": round(float(ke[-1]), 2),
         "awake": int(m.awake_count[-1]),
         "settle_steps": settle_steps,
+        "steps_per_sec_1k_window": sps_1k,
         "sleeping_mode": reference_mode,
         "overflow": bool(m.overflow.any()),
         "spill": int(m.spill_count.max()),
