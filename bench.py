@@ -73,7 +73,7 @@ def tuned_config(builder, n_bodies: int, **overrides):
 
 
 def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
-               reference_mode: bool = True):
+               reference_mode: bool = True, long_window: int = 1000):
     """Settled-pile throughput. `reference_mode` runs the engine the way the
     reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
     falling/impact phase (first `steps` window, everything awake) is
@@ -136,13 +136,13 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
     # dominates short windows once the scene sleeps; a 1000-step scan is
     # what a real rollout amortizes to
     sps_1k = None
-    if reference_mode:
-        st, _ = simulate(st, cfg, 1000)   # compile pass (scan length is a
-        np.asarray(st.bodies.pos)         # parameter but the jit cache keys
-        t0 = time.perf_counter()          # on the static arg)
-        st, _ = simulate(st, cfg, 1000)
+    if reference_mode and long_window:
+        st, _ = simulate(st, cfg, long_window)  # compile pass (scan length
+        np.asarray(st.bodies.pos)               # is a static jit-cache key)
+        t0 = time.perf_counter()
+        st, _ = simulate(st, cfg, long_window)
         np.asarray(st.bodies.pos)
-        sps_1k = round(1000 / (time.perf_counter() - t0), 2)
+        sps_1k = round(long_window / (time.perf_counter() - t0), 2)
     return {
         "steps_per_sec": round(steps / dt, 2),
         "impact_steps_per_sec": round(steps / impact_dt, 2),
@@ -153,7 +153,8 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
         "ke_end": round(float(ke[-1]), 2),
         "awake": int(m.awake_count[-1]),
         "settle_steps": settle_steps,
-        "steps_per_sec_1k_window": sps_1k,
+        "steps_per_sec_long_window": sps_1k,
+        "long_window_steps": long_window if reference_mode else None,
         "sleeping_mode": reference_mode,
         "overflow": bool(m.overflow.any()),
         "spill": int(m.spill_count.max()),
@@ -274,7 +275,10 @@ def cpu_baseline(n_bodies: int, steps: int = 100, settle: int = 600):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bodies", type=int, default=20480)
+    ap.add_argument("--bodies", type=int, default=None,
+                    help="pile size (default: 20480 on TPU, 2048 on the "
+                         "CPU fallback — a 20480 JAX-CPU settle takes hours "
+                         "and would time out the driver)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--no-reference-mode", action="store_true",
                     help="disable sleeping + persistent broadphase")
@@ -291,6 +295,13 @@ def main():
     args = ap.parse_args()
 
     platform = probe_backend()
+    if args.bodies is None:
+        # Honest degradation: the north-star scene (config 4, 20480) is a
+        # TPU metric. On the CPU fallback a single settle step costs ~10 s
+        # at 20480 (observed 2026-08-18) — the bench would emit nothing
+        # before any reasonable timeout. Measure the 2048 pile instead and
+        # say so in the metric string.
+        args.bodies = 20480 if not platform.startswith("cpu") else 2048
 
     if args.megachunk:
         r = bench_megachunks(args.scenes, args.scene_bodies,
@@ -335,7 +346,8 @@ def main():
         return
 
     r = bench_pile(args.bodies, args.steps,
-                   reference_mode=not args.no_reference_mode)
+                   reference_mode=not args.no_reference_mode,
+                   long_window=300 if platform.startswith("cpu") else 1000)
     # native settles the same total number of pre-measurement steps
     base = cpu_baseline(args.bodies, settle=r.get("settle_steps", 600))
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
