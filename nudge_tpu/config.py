@@ -52,6 +52,15 @@ class SimConfig:
     # manifolds run greedy rounds (settled scenes: zero rounds). Off = fresh
     # greedy coloring every step like the reference's per-frame batching.
     persistent_coloring: bool = True
+    # differentiable mode: replace the solve's dynamic trip count
+    # (solver_iters * n_colors_actually_used, a traced value) with the
+    # static bound solver_iters * max_colors so jax.grad/vjp can reverse
+    # through the step (reverse-mode AD rejects dynamic fori_loop bounds).
+    # Passes for unused colors match no manifolds and are exact no-ops; the
+    # cost is wasted sweeps when the scene uses far fewer colors than
+    # max_colors. New capability vs the C++ reference — nothing upstream
+    # can differentiate through a simulation (see tests/test_autodiff.py).
+    differentiable: bool = False
     baumgarte: float = 0.2          # position-bias factor (bias = β·max(0,pen−slop)/dt)
     slop: float = 0.005             # allowed penetration before bias kicks in
     # cap on the penetration-recovery velocity: deep transient penetrations

@@ -396,7 +396,13 @@ def solve(bodies: Bodies, con: ContactConstraints, acc, cfg: SimConfig):
 
     Returns (bodies, acc, (pseudo_vel, pseudo_angvel), pseudo_acc[M,P])."""
     acc_n, acc_t1, acc_t2 = acc
-    n_colors = jnp.maximum(con.n_colors, 1)
+    # Differentiable mode trades the dynamic trip count (reverse-mode AD
+    # rejects dynamic fori_loop bounds) for a static max_colors sweep;
+    # passes whose color is unused match no manifolds and are exact no-ops.
+    if cfg.differentiable:
+        n_colors = cfg.max_colors
+    else:
+        n_colors = jnp.maximum(con.n_colors, 1)
     split = cfg.split_impulse
     pfric = split and cfg.pseudo_friction
 
