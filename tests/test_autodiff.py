@@ -51,6 +51,7 @@ def test_grad_finite_and_nonzero(diff_setup):
     assert float(jnp.linalg.norm(g[1])) > 1e-4
 
 
+@pytest.mark.slow
 def test_grad_matches_finite_differences(diff_setup):
     st0, vg = diff_setup
     v0 = np.asarray(st0.bodies.vel, np.float64)
@@ -71,6 +72,7 @@ def test_grad_matches_finite_differences(diff_setup):
         assert abs(fd - an) <= 0.08 * max(abs(fd), abs(an), 1e-6), (fd, an)
 
 
+@pytest.mark.slow
 def test_gradient_descent_reduces_loss(diff_setup):
     """The curvature of pos-vs-initial-velocity over a 12-step window is
     ~2*(12*dt)^2 = 0.08, so stable GD rates go up to ~25; lr=4 converges the
