@@ -73,15 +73,17 @@ def tuned_config(builder, n_bodies: int, **overrides):
 
 
 def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
-               reference_mode: bool = True, long_window: int = 1000):
+               reference_mode: bool = True, long_window: int = 1000,
+               sphere_frac: float = 0.0):
     """Settled-pile throughput. `reference_mode` runs the engine the way the
     reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
     falling/impact phase (first `steps` window, everything awake) is
-    reported separately."""
+    reported separately. `sphere_frac` > 0 mixes spheres in (BASELINE
+    config 3 is a 2,048-body mixed boxes+spheres pile)."""
     from nudge_tpu.engine import simulate
     from nudge_tpu.scenes import scene_pile
 
-    b = scene_pile(n_bodies)
+    b = scene_pile(n_bodies, sphere_frac=sphere_frac)
     over = dict(sleeping=True, persistent_broadphase=True) \
         if reference_mode else {}
     cfg = tuned_config(b, n_bodies, **over)
@@ -282,6 +284,9 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--no-reference-mode", action="store_true",
                     help="disable sleeping + persistent broadphase")
+    ap.add_argument("--sphere-frac", type=float, default=0.0,
+                    help="fraction of pile bodies that are spheres "
+                         "(BASELINE config 3: 0.25 at 2048 bodies)")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--batch", action="store_true")
     ap.add_argument("--vbatch", action="store_true",
@@ -347,13 +352,18 @@ def main():
 
     r = bench_pile(args.bodies, args.steps,
                    reference_mode=not args.no_reference_mode,
-                   long_window=300 if platform.startswith("cpu") else 1000)
-    # native settles the same total number of pre-measurement steps
-    base = cpu_baseline(args.bodies, settle=r.get("settle_steps", 600))
+                   long_window=300 if platform.startswith("cpu") else 1000,
+                   sphere_frac=args.sphere_frac)
+    # native settles the same total number of pre-measurement steps; it is
+    # box-only, so mixed piles (config 3) have no comparable CPU anchor
+    base = (cpu_baseline(args.bodies, settle=r.get("settle_steps", 600))
+            if args.sphere_frac == 0.0 else None)
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
           if base else None)
+    kind = ("-body mixed box+sphere pile"
+            if args.sphere_frac > 0 else "-box pile")
     out = {
-        "metric": (f"steps/sec on settled {args.bodies}-box pile "
+        "metric": (f"steps/sec on settled {args.bodies}{kind} "
                    f"(sleeping+persistent broadphase)"),
         "value": r["steps_per_sec"],
         "unit": "steps/sec",

@@ -368,14 +368,20 @@ def scene_pile_megachunks(n_chunks: int, scenes_per_chunk: int,
 
 
 def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
-               seed: int = 0, spacing: float = 1.15):
+               seed: int = 0, spacing: float = 1.15, walls: bool = None):
     """BASELINE configs 3 & 4: jittered grid of falling bodies above ground.
-    sphere_frac > 0 mixes spheres in (config 3)."""
+    sphere_frac > 0 mixes spheres in (config 3). `walls` (default: on iff
+    spheres are present) rings the pile with four static walls: rigid
+    spheres have no rolling resistance, so on an open slab they roll off
+    the edge and free-fall forever — the "settled" mixed pile would
+    otherwise carry a few runaway bodies with unbounded KE."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     _ground(b)
     side = int(np.ceil(n_bodies ** (1 / 3)))
     d = 2 * half * spacing
+    if walls is None:
+        walls = sphere_frac > 0
     count = 0
     for iy in range(side * 2):
         for ix in range(side):
@@ -394,6 +400,16 @@ def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
                     q /= np.linalg.norm(q)
                     b.add_box((half, half, half), p, quat=q)
                 count += 1
+    if walls:
+        # appended AFTER the pile so dynamic-body indices are unchanged
+        ext = max(side * d * 1.5, 12 * half)   # footprint + scatter margin
+        # wall height scales with the drop column so collapse splash cannot
+        # eject bodies over the rim
+        wh, wt = max(4 * half, side * d * 0.5), half
+        for sx, sz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            b.add_static_box(
+                (wt if sx else ext + 2 * wt, wh, wt if sz else ext + 2 * wt),
+                (sx * (ext + wt), wh, sz * (ext + wt)))
     return b
 
 

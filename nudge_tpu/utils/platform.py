@@ -7,6 +7,7 @@ execution (bench.py and the demo drivers do)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax
@@ -14,7 +15,31 @@ import jax
 _DEFAULT_CACHE = os.path.expanduser("~/.cache/nudge_tpu_xla")
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host CPU feature flags. XLA:CPU AOT executables are
+    compiled for the build host's exact feature set; loading an entry
+    produced under a different host profile can crash outright (observed
+    2026-08-18: a full-suite run segfaulted inside
+    compilation_cache.get_executable_and_time; this VM migrates between
+    hosts). Keying the cache directory by the feature set makes a host
+    change start a fresh cache instead of deserializing foreign AOT code.
+    (The 'Target machine feature +prefer-no-scatter is not supported'
+    warnings are a separate, benign mismatch: XLA records its own tuning
+    pseudo-features, which never appear in the loader's host list.)"""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nocpuinfo"
+
+
 def enable_compilation_cache(path: str = _DEFAULT_CACHE) -> None:
+    path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -24,7 +24,9 @@ run profile_20480 python scripts/profile_step.py 20480 10
 # 2. headline bench: settled 20,480 pile, reference mode (sleeping+pbp)
 run bench_c4 python bench.py --bodies 20480 --steps 100
 
-# 3. config 3 (2,048 mixed pile path exercised via pile; bench --all adds it)
+# 3. config 3: 2,048-body MIXED boxes+spheres pile (all narrowphase types)
+run bench_c3_mixed python bench.py --bodies 2048 --steps 100 --sphere-frac 0.25
+# 3b. pure-box 2048 (round-1 comparison point, has a CPU anchor)
 run bench_2048 python bench.py --bodies 2048 --steps 100
 
 # 4. config 5 full scale: 4096 scenes x 512 bodies, chunked vmap (XLA path)

@@ -66,6 +66,45 @@ def test_single_box_drop_matches_mujoco():
     assert abs(mj[0] - nd[0]) < 0.03
 
 
+def _mj_sphere_drop(radius):
+    xml = f"""
+    <mujoco>
+      <option timestep="{DT}" gravity="0 0 -9.81"/>
+      <worldbody>
+        <geom type="plane" size="20 20 1" friction="0.5 0.005 0.0001"/>
+        <body name="s" pos="0 0 1.5"><freejoint/>
+          <geom type="sphere" size="{radius}" mass="1"
+                friction="0.5 0.005 0.0001"/></body>
+      </worldbody>
+    </mujoco>"""
+    model = mujoco.MjModel.from_xml_string(xml)
+    data = mujoco.MjData(model)
+    for _ in range(600):
+        mujoco.mj_step(model, data)
+    return float(data.qpos[2])
+
+
+def _nudge_sphere_drop(radius):
+    b = SceneBuilder()
+    b.add_static_box((20, 0.5, 20), (0, -0.5, 0))
+    b.add_sphere(radius, (0, 1.5, 0))
+    cfg = b.auto_config(dt=DT)
+    st, _ = simulate(b.finalize(cfg), cfg, 600)
+    return float(np.asarray(st.bodies.pos)[1, 1])
+
+
+@pytest.mark.slow
+def test_sphere_drop_matches_mujoco():
+    """Config-3 geometry (box-sphere narrowphase) against the oracle: a
+    dropped sphere rests at ~its radius above the ground in both engines."""
+    r = 0.4
+    mj = _mj_sphere_drop(r)
+    nd = _nudge_sphere_drop(r)
+    assert abs(mj - r) < 0.02
+    assert abs(nd - r) < 0.02
+    assert abs(mj - nd) < 0.03
+
+
 @pytest.mark.slow
 def test_stack_settle_matches_mujoco():
     n = 3
