@@ -32,7 +32,11 @@ def _use_kernels(cfg: SimConfig, n_bodies: int) -> bool:
     """Static (trace-time) choice of the Pallas setup+solve path (M5)."""
     if cfg.solver in ("pallas", "pallas_interpret"):
         return True
-    return (cfg.solver == "auto" and jax.default_backend() == "tpu"
+    # Pallas kernels carry no VJP rule: differentiable rollouts must ride
+    # the XLA path even on TPU (forcing solver="pallas" remains an explicit
+    # override that fails loudly under jax.grad).
+    return (cfg.solver == "auto" and not cfg.differentiable
+            and jax.default_backend() == "tpu"
             and kernel_fits(cfg, n_bodies))
 
 
