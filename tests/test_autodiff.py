@@ -90,6 +90,26 @@ def test_gradient_descent_reduces_loss(diff_setup):
     assert best < 0.3 * float(l0), (float(l0), best)
 
 
+@pytest.mark.slow
+def test_vmap_of_grad_composes(diff_setup):
+    """Batched per-scene gradients (the RL-rollout shape): vmap over a
+    batch of initial velocities, grad within each lane. Lanes must match
+    the sequential gradients they batch."""
+    st0, vg = diff_setup
+    v0 = st0.bodies.vel
+
+    def gradfn(v):
+        return vg(v)[1]
+
+    batch = jnp.stack([v0, v0 * 1.1, v0 - 0.2])
+    gb = jax.vmap(gradfn)(batch)
+    assert gb.shape == batch.shape
+    assert bool(jnp.all(jnp.isfinite(gb)))
+    g_seq = jnp.stack([gradfn(batch[i]) for i in range(3)])
+    assert bool(jnp.allclose(gb, g_seq, atol=2e-4)), \
+        float(jnp.abs(gb - g_seq).max())
+
+
 def test_dynamic_bound_solver_rejects_grad():
     """Documents WHY the flag exists: without it the solve's trip count is
     traced (solver_iters * n_colors_used) and reverse-mode AD through a
