@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .config import SimConfig
+from .mathx import cross, quat_rotate, quat_rotate_inv
 from .ops import cache as _cache
 from .ops import solver as _solver
 from .ops.contacts import Manifolds, collide as _collide
@@ -37,6 +38,7 @@ __all__ = [
     "collide", "read_cached_impulses", "setup_contact_constraints",
     "apply_impulses", "update_cached_impulses", "write_cached_impulses",
     "advance", "apply_gravity",
+    "apply_impulse", "apply_force", "wake",
 ]
 
 
@@ -96,3 +98,54 @@ def write_cached_impulses(contacts: Manifolds, impulse_world,
 def advance(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
     """Symplectic Euler position/orientation update (reference: advance)."""
     return _advance(bodies, sleep, cfg)
+
+
+# --- actuation helpers (functional analog of caller-owned momentum) --------
+#
+# The reference's BodyMomentum arrays are caller-owned (nudge.h, SURVEY C1):
+# users actuate by writing velocities directly between calls. Here state is
+# immutable, so these return updated pytrees; they are pure, jittable, and
+# vmappable (pass `body` as a traced index for per-lane actuation), and they
+# differentiate — e.g. grad of a rollout loss w.r.t. the applied impulse
+# (cfg.differentiable=True; see tests/test_autodiff.py).
+
+
+def apply_impulse(bodies: Bodies, body, impulse, point=None) -> Bodies:
+    """Apply a world-space impulse to `body`, at world `point` if given
+    (adds the r x J angular impulse through the world-space inverse
+    inertia), else at the center of mass. Static bodies (inv_mass 0) are
+    unaffected. When sleeping is enabled, pair with `wake` — a poked
+    sleeper must rejoin the solve or the impulse stays un-integrated."""
+    impulse = jnp.asarray(impulse, jnp.float32)
+    vel = bodies.vel.at[body].add(impulse * bodies.inv_mass[body])
+    angvel = bodies.angvel
+    if point is not None:
+        L = cross(jnp.asarray(point, jnp.float32) - bodies.pos[body],
+                  impulse)
+        q = bodies.quat[body]
+        ang = quat_rotate(
+            q, bodies.inv_inertia[body] * quat_rotate_inv(q, L))
+        # zero inertia rows (statics) contribute nothing
+        angvel = angvel.at[body].add(ang)
+    return bodies.replace(vel=vel, angvel=angvel)
+
+
+def apply_force(bodies: Bodies, body, force, cfg: SimConfig,
+                point=None) -> Bodies:
+    """One step's worth of a constant world-space force: the impulse
+    `force * cfg.dt` (symplectic Euler accumulates forces as per-step
+    impulses — exactly how gravity enters in apply_gravity)."""
+    return apply_impulse(bodies, body,
+                         jnp.asarray(force, jnp.float32) * cfg.dt,
+                         point=point)
+
+
+def wake(state: SimState, body) -> SimState:
+    """Wake `body`: reset its idle counter and set it awake. The island
+    propagation inside the next collide() wakes touching sleepers (the
+    reference's contact-with-active-body rule, SURVEY C13)."""
+    sleep = state.sleep
+    return state.replace(sleep=sleep.replace(
+        idle=sleep.idle.at[body].set(0),
+        awake=sleep.awake.at[body].set(True),
+    ))
