@@ -50,11 +50,16 @@ class BoxPushEnv:
 
     def __init__(self, cfg: SimConfig = None, horizon: int = 100,
                  frame_skip: int = 5, max_push: float = 2.0,
-                 goal_radius: float = 6.0):
+                 goal_radius: float = 6.0, **cfg_overrides):
+        """`cfg_overrides` are forwarded to auto_config when no explicit
+        cfg is given — e.g. BoxPushEnv(differentiable=True, sleeping=False)
+        for analytic policy gradients (examples/policy_grad.py)."""
         b = SceneBuilder()
         b.add_static_box((12.0, 0.5, 12.0), (0.0, -0.5, 0.0))
         self._agent = b.add_box((0.5, 0.5, 0.5), (0.0, 0.5, 0.0))
-        self.cfg = cfg if cfg is not None else b.auto_config(sleeping=True)
+        if cfg is None:
+            cfg = b.auto_config(**{"sleeping": True, **cfg_overrides})
+        self.cfg = cfg
         self._proto = b.finalize(self.cfg)
         self.horizon = horizon
         self.frame_skip = frame_skip
