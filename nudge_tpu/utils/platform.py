@@ -38,7 +38,19 @@ def _host_fingerprint() -> str:
     return "nocpuinfo"
 
 
-def enable_compilation_cache(path: str = _DEFAULT_CACHE) -> None:
+def enable_compilation_cache(path: str = _DEFAULT_CACHE,
+                             allow_cpu: bool = False) -> None:
+    """No-op on the CPU platform unless `allow_cpu`: XLA:CPU executable
+    (de)serialization segfaults nondeterministically on this box — observed
+    2026-08-18 in BOTH directions (get_executable_and_time on a stale
+    entry, put_executable_and_time on a fresh one, each killing a full
+    test-suite run). The cache exists to amortize the TPU relay's
+    slow/flaky REMOTE compiles; CPU processes recompile instead of
+    crashing. Checked via jax.config.jax_platforms (no backend init, so
+    calling this before a bounded relay probe cannot block)."""
+    platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+    if not allow_cpu and platforms.startswith("cpu"):
+        return
     path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
@@ -62,3 +74,7 @@ def force_cpu(n_virtual_devices: int = 0) -> None:
         parts.append(f"{marker}{count}")
         os.environ["XLA_FLAGS"] = " ".join(parts)
     jax.config.update("jax_platforms", "cpu")
+    # a cache dir registered while the platform was (expected to be) TPU
+    # must not persist into the CPU fallback — see enable_compilation_cache
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        jax.config.update("jax_compilation_cache_dir", None)

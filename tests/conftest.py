@@ -18,9 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: jit compiles dominate suite wall time and are
-# identical between runs — repeat runs of the fast tier drop well under the
-# 3-minute target once warm
-from nudge_tpu.utils.platform import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache(os.path.expanduser("~/.cache/nudge_tpu_xla_tests"))
+# NOTE: the persistent compile cache is deliberately NOT enabled here.
+# XLA:CPU executable (de)serialization segfaults nondeterministically on
+# this box — two full-suite runs died inside the cache's get/put on
+# 2026-08-18. enable_compilation_cache() is a no-op on the CPU platform
+# for the same reason; tests pay the recompiles and stay alive.
