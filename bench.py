@@ -304,9 +304,10 @@ def main():
         # Honest degradation: the north-star scene (config 4, 20480) is a
         # TPU metric. On the CPU fallback a single settle step costs ~10 s
         # at 20480 (observed 2026-08-18) — the bench would emit nothing
-        # before any reasonable timeout. Measure the 2048 pile instead and
-        # say so in the metric string.
-        args.bodies = 20480 if not platform.startswith("cpu") else 2048
+        # before any reasonable timeout; even 2048 needs ~1 h for its
+        # ~1300-step sleep onset at JAX-CPU rates. Measure a 1024 pile
+        # instead and say so in the metric string.
+        args.bodies = 20480 if not platform.startswith("cpu") else 1024
 
     if args.megachunk:
         r = bench_megachunks(args.scenes, args.scene_bodies,
@@ -355,11 +356,21 @@ def main():
                    long_window=300 if platform.startswith("cpu") else 1000,
                    sphere_frac=args.sphere_frac)
     # native settles the same total number of pre-measurement steps; it is
-    # box-only, so mixed piles (config 3) have no comparable CPU anchor
+    # box-only, so mixed piles (config 3) have no comparable CPU anchor.
+    # Two ratios: settled (both engines fully asleep — ours short-circuits
+    # the whole pipeline under lax.cond, the C++ engine still sweeps its
+    # broadphase, so this measures the sleep architecture) and impact
+    # (first window from the drop, everything awake — the full-pipeline
+    # engine-vs-engine number).
     base = (cpu_baseline(args.bodies, settle=r.get("settle_steps", 600))
             if args.sphere_frac == 0.0 else None)
+    base_impact = (cpu_baseline(args.bodies, settle=0)
+                   if args.sphere_frac == 0.0 else None)
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
           if base else None)
+    vs_impact = (round(r["impact_steps_per_sec"]
+                       / base_impact["steps_per_sec"], 3)
+                 if base_impact else None)
     kind = ("-body mixed box+sphere pile"
             if args.sphere_frac > 0 else "-box pile")
     out = {
@@ -369,7 +380,9 @@ def main():
         "unit": "steps/sec",
         "vs_baseline": vs,
         "platform": platform,
-        "detail": {"tpu": r, "cpu_baseline": base},
+        "detail": {"tpu": r, "cpu_baseline": base,
+                   "cpu_baseline_impact": base_impact,
+                   "vs_baseline_impact": vs_impact},
     }
     if args.all:
         out["detail"]["pile_2048"] = bench_pile(2048, args.steps)
