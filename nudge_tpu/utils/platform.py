@@ -73,6 +73,15 @@ def force_cpu(n_virtual_devices: int = 0) -> None:
         count = max([n_virtual_devices] + [int(k) for k in kept if k.isdigit()])
         parts.append(f"{marker}{count}")
         os.environ["XLA_FLAGS"] = " ".join(parts)
+    # Cap XLA:CPU codegen at AVX2: this VM advertises AMX/AVX512 subsets
+    # the host doesn't reliably execute — long runs segfaulted inside the
+    # LLVM JIT and in executable (de)serialization until capped (observed
+    # 2026-08-18, three independent crashes). Applies only when this
+    # process is being pointed at the CPU backend, so TPU codegen is
+    # untouched.
+    if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_cpu_max_isa=avx2").strip()
     jax.config.update("jax_platforms", "cpu")
     # a cache dir registered while the platform was (expected to be) TPU
     # must not persist into the CPU fallback — see enable_compilation_cache

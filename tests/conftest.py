@@ -10,9 +10,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap XLA:CPU codegen at AVX2: this VM advertises AMX/AVX512 subsets that
+# the host doesn't reliably execute — three long suite runs segfaulted in
+# compile-adjacent native code (LLVM JIT / executable (de)serialization)
+# before this cap; see utils/platform.py for the same cap on force_cpu.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=avx2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
