@@ -75,7 +75,8 @@ struct World {
   int n = 0;
   std::vector<V3> pos, vel, angvel;
   std::vector<Quat> quat;
-  std::vector<V3> half;        // box half extents
+  std::vector<V3> half;        // box half extents; spheres: half.x = radius
+  std::vector<char> shape;     // 0 = box, 1 = sphere (upstream C7)
   std::vector<float> inv_mass;
   std::vector<V3> inv_inertia; // diagonal, body frame
   std::vector<int> idle;       // sleep bookkeeping (upstream C13)
@@ -89,7 +90,7 @@ struct World {
   int add_box(V3 h, V3 p, Quat q, float mass) {
     pos.push_back(p); quat.push_back(q);
     vel.push_back({0,0,0}); angvel.push_back({0,0,0});
-    half.push_back(h);
+    half.push_back(h); shape.push_back(0);
     idle.push_back(0); awake.push_back(1);
     if (mass > 0) {
       inv_mass.push_back(1.f / mass);
@@ -97,6 +98,22 @@ struct World {
       float iy = mass/3.f*(h.x*h.x + h.z*h.z);
       float iz = mass/3.f*(h.x*h.x + h.y*h.y);
       inv_inertia.push_back({1.f/ix, 1.f/iy, 1.f/iz});
+    } else {
+      inv_mass.push_back(0.f);
+      inv_inertia.push_back({0,0,0});
+    }
+    return n++;
+  }
+
+  int add_sphere(float r, V3 p, float mass) {
+    pos.push_back(p); quat.push_back({0,0,0,1});
+    vel.push_back({0,0,0}); angvel.push_back({0,0,0});
+    half.push_back({r, r, r}); shape.push_back(1);
+    idle.push_back(0); awake.push_back(1);
+    if (mass > 0) {
+      inv_mass.push_back(1.f / mass);
+      float i = 0.4f * mass * r * r;          // solid sphere
+      inv_inertia.push_back({1.f/i, 1.f/i, 1.f/i});
     } else {
       inv_mass.push_back(0.f);
       inv_inertia.push_back({0,0,0});
@@ -120,10 +137,16 @@ static void broadphase(const World& w, std::vector<std::pair<int,int>>& pairs) {
   static std::vector<Entry> es;
   es.clear(); es.reserve(w.n);
   for (int i = 0; i < w.n; i++) {
-    M3 R = qmat(w.quat[i]);
-    V3 e = {std::fabs(R.m[0][0])*w.half[i].x + std::fabs(R.m[0][1])*w.half[i].y + std::fabs(R.m[0][2])*w.half[i].z,
-            std::fabs(R.m[1][0])*w.half[i].x + std::fabs(R.m[1][1])*w.half[i].y + std::fabs(R.m[1][2])*w.half[i].z,
-            std::fabs(R.m[2][0])*w.half[i].x + std::fabs(R.m[2][1])*w.half[i].y + std::fabs(R.m[2][2])*w.half[i].z};
+    V3 e;
+    if (w.shape[i]) {                       // sphere: AABB = pos +- r
+      float r = w.half[i].x;
+      e = {r, r, r};
+    } else {
+      M3 R = qmat(w.quat[i]);
+      e = {std::fabs(R.m[0][0])*w.half[i].x + std::fabs(R.m[0][1])*w.half[i].y + std::fabs(R.m[0][2])*w.half[i].z,
+           std::fabs(R.m[1][0])*w.half[i].x + std::fabs(R.m[1][1])*w.half[i].y + std::fabs(R.m[1][2])*w.half[i].z,
+           std::fabs(R.m[2][0])*w.half[i].x + std::fabs(R.m[2][1])*w.half[i].y + std::fabs(R.m[2][2])*w.half[i].z};
+    }
     V3 mn = w.pos[i] - e, mx = w.pos[i] + e;
     es.push_back({mn.x, mx.x, i, mn, mx});
   }
@@ -284,6 +307,60 @@ static int box_box(const World& w, int ia, int ib, Contact* out) {
 }
 
 // ---------------------------------------------------------------------------
+// narrowphase: sphere-sphere and box-sphere (SURVEY C7) — closest-point
+// tests producing one feature-tagged contact each, like the upstream
+// ---------------------------------------------------------------------------
+static int sphere_sphere(const World& w, int ia, int ib, Contact* out) {
+  float ra = w.half[ia].x, rb = w.half[ib].x;
+  V3 d = w.pos[ib] - w.pos[ia];
+  float d2 = dot(d, d), rs = ra + rb;
+  if (d2 >= rs*rs) return 0;
+  float dist = std::sqrt(std::max(d2, 1e-12f));
+  V3 nrm = dist > 1e-6f ? d * (1.f/dist) : V3{0, 1, 0};
+  V3 p = w.pos[ia] + nrm * (ra + 0.5f*(dist - rs));  // midpoint of overlap
+  out[0] = {ia, ib, p, nrm, rs - dist, (uint64_t)300};
+  return 1;
+}
+
+// ia/ib keep pair order (a < b); `flip` says which side is the box
+static int box_sphere(const World& w, int ia, int ib, Contact* out) {
+  int ibox = w.shape[ia] ? ib : ia, isph = w.shape[ia] ? ia : ib;
+  float r = w.half[isph].x;
+  M3 R = qmat(w.quat[ibox]);
+  V3 h = w.half[ibox];
+  V3 cl = mulvT(R, w.pos[isph] - w.pos[ibox]);       // sphere center, box frame
+  float hx[3] = {h.x, h.y, h.z}, cx[3] = {cl.x, cl.y, cl.z};
+  float q[3] = {std::min(std::max(cx[0], -hx[0]), hx[0]),
+                std::min(std::max(cx[1], -hx[1]), hx[1]),
+                std::min(std::max(cx[2], -hx[2]), hx[2])};
+  V3 diff = {cx[0]-q[0], cx[1]-q[1], cx[2]-q[2]};
+  float d2 = dot(diff, diff);
+  V3 nl; float depth;
+  if (d2 > 1e-12f) {                                 // center outside the box
+    if (d2 >= r*r) return 0;
+    float dist = std::sqrt(d2);
+    nl = diff * (1.f/dist);                          // box -> sphere, box frame
+    depth = r - dist;
+  } else {                                           // deep: face of min exit
+    int ax = 0; float best = 1e30f;
+    for (int k = 0; k < 3; k++) {
+      float pen = hx[k] - std::fabs(cx[k]);
+      if (pen < best) { best = pen; ax = k; }
+    }
+    float s = cx[ax] >= 0 ? 1.f : -1.f;
+    nl = {0,0,0}; ((float*)&nl)[ax] = s;
+    q[ax] = s * hx[ax];
+    depth = best + r;
+  }
+  V3 nw = mulv(R, nl);                               // world, box -> sphere
+  V3 p = mulv(R, {q[0], q[1], q[2]}) + w.pos[ibox];
+  // contact normal convention is a -> b in pair order
+  V3 nrm = (ibox == ia) ? nw : nw * -1.f;
+  out[0] = {ia, ib, p, nrm, depth, (uint64_t)310};
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
 // solver: warm-started sequential impulses (SURVEY C10/C11)
 // ---------------------------------------------------------------------------
 struct CC {
@@ -333,7 +410,10 @@ static void step(World& w, WarmCache& cache) {
   contacts.clear();
   Contact tmp[8];
   for (auto& pr : pairs) {
-    int c = box_box(w, pr.first, pr.second, tmp);
+    int sa = w.shape[pr.first], sb = w.shape[pr.second];
+    int c = (sa && sb) ? sphere_sphere(w, pr.first, pr.second, tmp)
+          : (sa || sb) ? box_sphere(w, pr.first, pr.second, tmp)
+                       : box_box(w, pr.first, pr.second, tmp);
     for (int k=0;k<c;k++) {
       tmp[k].tag |= ((uint64_t)pr.first << 40) | ((uint64_t)pr.second << 16);
       contacts.push_back(tmp[k]);
@@ -640,6 +720,7 @@ int main(int argc, char** argv) {
   int n = argc > 1 ? atoi(argv[1]) : 2048;
   int steps = argc > 2 ? atoi(argv[2]) : 100;
   int settle = argc > 3 ? atoi(argv[3]) : 300;
+  float sphere_frac = argc > 4 ? (float)atof(argv[4]) : 0.f;  // config 3: 0.25
 
   World w;
   w.add_box({50, 0.5f, 50}, {0, -0.5f, 0}, {0,0,0,1}, 0);  // ground
@@ -656,12 +737,27 @@ int main(int argc, char** argv) {
         V3 p = {(ix-(side-1)/2.f)*d + frand()*0.1f,
                 half*1.5f + iy*d,
                 (iz-(side-1)/2.f)*d + frand()*0.1f};
-        Quat q = {frand()*0.05f, frand()*0.05f, frand()*0.05f, 1};
-        float L = std::sqrt(q.x*q.x+q.y*q.y+q.z*q.z+q.w*q.w);
-        q.x/=L; q.y/=L; q.z/=L; q.w/=L;
-        w.add_box({half,half,half}, p, q, 1.f);
+        if (frand() + 0.5f < sphere_frac) {
+          w.add_sphere(half*0.9f, p, 1.f);
+        } else {
+          Quat q = {frand()*0.05f, frand()*0.05f, frand()*0.05f, 1};
+          float L = std::sqrt(q.x*q.x+q.y*q.y+q.z*q.z+q.w*q.w);
+          q.x/=L; q.y/=L; q.z/=L; q.w/=L;
+          w.add_box({half,half,half}, p, q, 1.f);
+        }
         count++;
       }
+  if (sphere_frac > 0) {
+    // four static containment walls, same geometry as scenes.scene_pile
+    // (walls=True): spheres have no rolling resistance and roll off an
+    // open slab into eternal free-fall otherwise
+    float ext = std::max(side * d * 1.5f, 12 * half);
+    float wh = std::max(4 * half, side * d * 0.5f), wt = half;
+    const int sgn[4][2] = {{1,0}, {-1,0}, {0,1}, {0,-1}};
+    for (auto& s : sgn)
+      w.add_box({s[0] ? wt : ext + 2*wt, wh, s[1] ? wt : ext + 2*wt},
+                {s[0] * (ext + wt), wh, s[1] * (ext + wt)}, {0,0,0,1}, 0);
+  }
 
   WarmCache cache;
   for (int s=0; s<settle; s++) step(w, cache);
