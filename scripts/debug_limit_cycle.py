@@ -17,6 +17,8 @@ Env: NUDGE_CPU=1 to force the host CPU backend.
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("NUDGE_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")

@@ -7,8 +7,11 @@ the median of `reps` calls after a warmup. Usage:
     python scripts/profile_step.py [n_bodies] [reps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nudge_tpu.utils.platform import enable_compilation_cache
 

@@ -23,8 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: the persistent compile cache is deliberately NOT enabled here.
-# XLA:CPU executable (de)serialization segfaults nondeterministically on
-# this box — two full-suite runs died inside the cache's get/put on
-# 2026-08-18. enable_compilation_cache() is a no-op on the CPU platform
-# for the same reason; tests pay the recompiles and stay alive.
+# The persistent compile cache was disabled on CPU 2026-08-18 after two
+# full-suite runs died inside the cache's get/put — but those crashes
+# predate the AVX2 ISA cap above (the suspected root cause: AOT executables
+# serialized with AMX/AVX512 subsets this migrating VM can't reliably
+# execute). With the cap in place the combination is being re-trialed via
+# NUDGE_CPU_CACHE=1; flip the default once two clean full-suite runs land
+# (see docs/PARITY.md "fast tier" for the current status).
+if os.environ.get("NUDGE_CPU_CACHE"):
+    from nudge_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache(allow_cpu=True)
