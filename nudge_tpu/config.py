@@ -94,6 +94,24 @@ class SimConfig:
     # every ~25 steps from ~750 until the broadphase overflowed and the
     # pile exploded). Negative disables gating (unconditional deep bias).
     deep_bias_gate: float = 0.3
+    # UNGATED anti-creep floor under the gate (round-3 fix): a column under
+    # sustained load creeps — each under-converged solve leaves a residual
+    # approach velocity, positions compact by its dt-integral, and the gate
+    # above reads the slow approach (< deep_bias_gate) as "at rest" and
+    # zeroes the emergency bias. Nothing resists, interpenetration deepens,
+    # overlapping AABBs multiply the pair/manifold load (which worsens
+    # convergence), and at the 20,480-box pile the bottom boxes creep past
+    # the ground slab's center plane, the SAT normal flips, and the solver
+    # ejects them through the floor (observed round 3: eternal free fall
+    # below the world, PE -> -inf). Reproduced at 650 bodies with
+    # solver_iters=5 (scripts/debug_tower.py). Fix: penetration beyond
+    # deep_bias_ungated_depth gets a bias of up to deep_bias_ungated_vel
+    # REGARDLESS of approach velocity. The small cap (~3x the per-step
+    # gravity kick g*dt=0.16) beats the creep rate but cannot re-create the
+    # 2 m/s bias trampolines that forced the gate; the threshold is 50x the
+    # rest depth (~slop) so settled contacts never see it.
+    deep_bias_ungated_depth: float = 0.25
+    deep_bias_ungated_vel: float = 0.5
     # include the pseudo (position-solve) normal impulse in the friction
     # cone bound: the pseudo impulse IS contact force spent resolving
     # penetration, and classic Baumgarte implicitly granted friction for it

@@ -178,6 +178,8 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
     slop = cfg.slop
     deep_bias_depth = cfg.deep_bias_depth
     deep_bias_gate = cfg.deep_bias_gate
+    ungated_depth = cfg.deep_bias_ungated_depth
+    ungated_vel = cfg.deep_bias_ungated_vel
     restitution = cfg.restitution
     warm_start = cfg.warm_start
     split = cfg.split_impulse
@@ -302,6 +304,13 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
                     # .deep_bias_gate): zero at rest, full under impact
                     bias = jnp.minimum(
                         bias, jnp.maximum(-vn0 - deep_bias_gate, 0.0))
+                    # ungated anti-creep floor (SimConfig
+                    # .deep_bias_ungated_depth): quasi-static column
+                    # compaction slips under the approach gate
+                    bias = jnp.maximum(bias, jnp.minimum(
+                        baumgarte_over_dt
+                        * jnp.maximum(depth - ungated_depth, 0.0),
+                        ungated_vel))
                 pos_bias = baum
             else:
                 bias = baum

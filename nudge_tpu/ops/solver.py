@@ -313,6 +313,12 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
             # only counteract ACTIVE compression (see SimConfig.deep_bias_gate)
             bias = jnp.minimum(
                 bias, jnp.maximum(-vn0 - cfg.deep_bias_gate, 0.0))
+            # ungated anti-creep floor: quasi-static compaction slips under
+            # the gate (see SimConfig.deep_bias_ungated_depth)
+            bias = jnp.maximum(bias, jnp.minimum(
+                cfg.baumgarte / cfg.dt
+                * jnp.maximum(man.depth - cfg.deep_bias_ungated_depth, 0.0),
+                cfg.deep_bias_ungated_vel))
         pos_bias = baum
     else:
         bias = baum

@@ -112,6 +112,9 @@ if __name__ == "__main__":
     over = {}
     for kv in sys.argv[3:]:
         k, v = kv.split("=")
-        over[k] = float(v) if "." in v else int(v)
+        try:
+            over[k] = float(v) if "." in v else int(v)
+        except ValueError:
+            over[k] = v          # string knobs, e.g. solver=xla
     print(f"--- n={n} over={over}", flush=True)
     run(n, chunks, **over)

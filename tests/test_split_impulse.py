@@ -48,9 +48,25 @@ def test_deep_overlap_at_rest_stays_gated():
     """Beyond deep_bias_depth but at REST the emergency term must stay
     gated off (SimConfig.deep_bias_gate: the pre-solve approach velocity is
     just the gravity kick, inside the deadband) — recovery is pure position
-    correction, no pop, and it still reaches rest."""
-    pos, ke, depth = drop_overlapping(split=True, overlap=0.3)
+    correction, no pop, and it still reaches rest. Holds in the band
+    deep_bias_depth < depth < deep_bias_ungated_depth; deeper overlaps get
+    the capped ungated anti-creep push (next test)."""
+    pos, ke, depth = drop_overlapping(split=True, overlap=0.2)
     assert ke.max() < 0.05      # no bias trampoline on a resting contact
+    assert abs(pos[1] - 0.495) < 0.02
+    assert depth[-1] < 0.01
+
+
+def test_ungated_anti_creep_push_is_gentle():
+    """Beyond deep_bias_ungated_depth even a RESTING contact gets a small
+    velocity push (round-3 fix: quasi-static column creep slips under the
+    approach gate and compacted the 20,480 pile through the ground slab).
+    The push is capped at deep_bias_ungated_vel — it must recover the box
+    without anything like the ~2 J Baumgarte pop, and must damp out."""
+    pos, ke, depth = drop_overlapping(split=True, overlap=0.35)
+    # bounded by ½·m·v_cap² = 0.125 J (+ contact/gravity noise)
+    assert ke.max() < 0.2
+    assert ke[-1] < 1e-3        # the gentle pop damps, no trampoline
     assert abs(pos[1] - 0.495) < 0.02
     assert depth[-1] < 0.01
 
