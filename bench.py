@@ -59,13 +59,17 @@ _NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 
 def tuned_config(builder, n_bodies: int, **overrides):
-    """Capacity-tuned config: manifolds ~1.6x expected touching pairs
-    (~3.3/body in settled piles); pairs at 5x bodies — well above the
+    """Capacity-tuned config: manifolds at 3x bodies — a fully-compacted
+    settled pile runs ~2.1-2.3 manifolds/body and keeps creeping up as it
+    densifies (measured: the collapsed 5x5x26 tower pins a 2x-bodies cap and
+    silently drops load-bearing contacts, scripts/debug_caps.py), so 3x is
+    real headroom, affordable since the VMEM re-measure (kernel_fits: v5e
+    holds ~120MB resident, not 16). Pairs at 5x bodies — well above the
     settled count for impact-phase spike headroom. Density 16 covers the
     impact-phase occupancy spike (settled cells hold <= 8, but the falling
     pile transiently exceeds 12 and dropped pairs turn into deep
     penetrations)."""
-    mcap = max(512, int(n_bodies * 2.0))
+    mcap = max(512, int(n_bodies * 3.0))
     pcap = max(1024, int(n_bodies * 5.0))
     kw = dict(max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=16)
     kw.update(overrides)
@@ -219,7 +223,7 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
     proto = scene_pile(bodies)
     cfg = proto.auto_config(
         max_box_box_pairs=max(1024, bodies * 5),
-        max_manifolds=max(512, bodies * 2),
+        max_manifolds=max(512, bodies * 3),
         solver="xla", broadphase="grid",
         grid_table_dims=(16, 16, 16), grid_density=16,
     )

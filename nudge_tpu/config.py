@@ -69,6 +69,17 @@ class SimConfig:
     # explodes (observed at the 20480-box drop; the standard stabilization
     # in production engines)
     max_bias_vel: float = 2.0
+    # cap on the PSEUDO (position-correction) recovery velocity under split
+    # impulse. Separate from max_bias_vel because the pseudo channel moves
+    # positions only — it cannot inject kinetic energy, so it is safe to run
+    # much stronger than the momentum-carrying bias. It NEEDS to be strong:
+    # under a deep column load the velocity solve under-converges and leaves
+    # a sustained downward creep of ~1-1.6 m/s at the bottom contacts
+    # (measured, 20,480-box pile at peak compaction) — a pseudo capped at
+    # max_bias_vel=2 barely outruns it, and once penetration outgrows the
+    # AABB margin the pair count multiplies, convergence worsens, and the
+    # pile implodes into the ground (round-3 TPU trace, steps 700-1000).
+    max_pseudo_vel: float = 10.0
     # split-impulse position correction: penetration is resolved by a
     # parallel PSEUDO-velocity solve whose result moves positions but never
     # momentum, and the Baumgarte term leaves the velocity solve entirely —
@@ -119,6 +130,15 @@ class SimConfig:
     # stable under Baumgarte lose shear strength under split impulse and
     # avalanche (observed: 2048-box pile restless, KE bursts).
     pseudo_friction: bool = True
+    # hard per-step speed limit (0 = unlimited), applied in advance() before
+    # the pose update. Tunneling armor (the Box2D maxTranslation analog):
+    # collapsing piles focus momentum Newton's-cradle style into ejecta
+    # FASTER than free fall (observed 47 m/s on the 20,480 drop, ~2x free
+    # fall) which cross a box diameter per 1/60 step — past any possible
+    # contact resolution and, for thin geometry, past the SAT normal-flip
+    # plane. scenes.auto_config sets this to 1.25x the scene's free-fall
+    # ceiling (never touches legitimate motion; floor 20 m/s).
+    max_lin_vel: float = 0.0
     friction: float = 0.5           # default Coulomb friction if collider has none
     restitution: float = 0.0        # reference has none [MED]; kept as a knob
     warm_start: bool = True

@@ -50,6 +50,8 @@ class StepMetrics:
     overflow: jnp.ndarray        # bool any capacity exceeded
     awake_count: jnp.ndarray     # i32 dynamic awake bodies
     kinetic_energy: jnp.ndarray  # f32 Σ ½|v|²/inv_mass over dynamic bodies
+    overflow_bits: jnp.ndarray   # i32 attribution (Manifolds.overflow_bits)
+    manifold_demand: jnp.ndarray  # i32 manifolds wanted (may exceed capacity)
 
 
 def step(state: SimState, cfg: SimConfig):
@@ -79,6 +81,7 @@ def _step_parked(state: SimState, cfg: SimConfig):
     metrics = StepMetrics(
         contact_count=z_i, max_depth=z_f, spill_count=z_i,
         overflow=jnp.zeros((), bool), awake_count=z_i, kinetic_energy=z_f,
+        overflow_bits=z_i, manifold_demand=z_i,
     )
     return state.replace(step_count=state.step_count + 1), metrics
 
@@ -158,6 +161,8 @@ def _step_active(state: SimState, cfg: SimConfig):
         overflow=contacts.overflow,
         awake_count=jnp.sum((dyn & sleep.awake).astype(jnp.int32)),
         kinetic_energy=ke,
+        overflow_bits=contacts.overflow_bits,
+        manifold_demand=contacts.count,
     )
     return new_state, metrics
 

@@ -37,9 +37,20 @@ def apply_position_correction(bodies: Bodies, pseudo, sleep: SleepState,
 
 
 def advance(bodies: Bodies, sleep: SleepState, cfg: SimConfig) -> Bodies:
-    """x += v·dt; q = normalize(q + ½·dt·ω⊗q) on dynamic awake bodies."""
+    """x += v·dt; q = normalize(q + ½·dt·ω⊗q) on dynamic awake bodies.
+
+    With cfg.max_lin_vel > 0 the velocity itself is clamped to that speed
+    first (momentum-affecting, like Box2D's maxTranslation clamp): bodies
+    faster than the scene's free-fall ceiling are solver ejecta whose next
+    step would cross a full box extent and tunnel (see SimConfig.max_lin_vel)."""
     move = (bodies.dynamic & sleep.awake)[:, None]
-    pos = jnp.where(move, bodies.pos + bodies.vel * cfg.dt, bodies.pos)
+    vel = bodies.vel
+    if cfg.max_lin_vel > 0.0:
+        speed = jnp.sqrt(jnp.maximum(jnp.sum(vel * vel, -1), 1e-12))
+        scale = jnp.minimum(1.0, cfg.max_lin_vel / speed)[:, None]
+        vel = jnp.where(move, vel * scale, vel)
+        bodies = bodies.replace(vel=vel)
+    pos = jnp.where(move, bodies.pos + vel * cfg.dt, bodies.pos)
     quat = jnp.where(
         move, quat_integrate(bodies.quat, bodies.angvel, cfg.dt), bodies.quat
     )

@@ -175,6 +175,7 @@ def _basis(n):
 def _make_setup_kernel(cfg: SimConfig, w_words: int):
     baumgarte_over_dt = cfg.baumgarte / cfg.dt
     max_bias_vel = cfg.max_bias_vel
+    max_pseudo_vel = cfg.max_pseudo_vel
     slop = cfg.slop
     deep_bias_depth = cfg.deep_bias_depth
     deep_bias_gate = cfg.deep_bias_gate
@@ -311,7 +312,11 @@ def _make_setup_kernel(cfg: SimConfig, w_words: int):
                         baumgarte_over_dt
                         * jnp.maximum(depth - ungated_depth, 0.0),
                         ungated_vel))
-                pos_bias = baum
+                # pseudo channel: own higher cap (SimConfig.max_pseudo_vel —
+                # position-only, no momentum; must outrun column creep)
+                pos_bias = jnp.minimum(
+                    baumgarte_over_dt * jnp.maximum(depth - slop, 0.0),
+                    max_pseudo_vel)
             else:
                 bias = baum
                 pos_bias = jnp.zeros((1, SUB, LANES), jnp.float32)

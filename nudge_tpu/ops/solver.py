@@ -80,6 +80,34 @@ class ContactConstraints:
     spill_count: jnp.ndarray  # i32 manifolds past the color budget
 
 
+def order_colors_by_height(color, man: Manifolds, cfg: SimConfig):
+    """Relabel colors so the sequential color sweep runs BOTTOM-UP (shock
+    propagation). Colored Gauss-Seidel propagates a contact shock roughly
+    one graph layer per sweep when color order is arbitrary — a 26-layer
+    pile needs >26 iterations just to feel the ground, and the bottom boxes
+    creep downward on the unresolved residual until the pile implodes
+    (round-3 20,480 trace). The reference gets bottom-up ordering for free:
+    its sequential sweep follows memory order = spawn order = layer order.
+    Here: rank colors by mean contact height ascending each step; the
+    relabel is a bijection on 0..max_colors-1, so conflict-freedom, spill
+    relaxation, and n_colors are untouched. The parked sentinel
+    (== max_colors) stays fixed. Cost: one segment-mean + tiny argsort."""
+    K = cfg.max_colors
+    y = jnp.sum(jnp.where(man.point_valid, man.pos[..., 1], 0.0), -1) \
+        / jnp.maximum(jnp.sum(man.point_valid.astype(jnp.float32), -1), 1.0)
+    ok = man.valid & (color >= 0) & (color < K)
+    idx = jnp.where(ok, color, K)
+    csum = jnp.zeros((K + 1,), jnp.float32).at[idx].add(jnp.where(ok, y, 0.0))
+    ccnt = jnp.zeros((K + 1,), jnp.float32).at[idx].add(ok.astype(jnp.float32))
+    mean = jnp.where(ccnt[:K] > 0, csum[:K] / jnp.maximum(ccnt[:K], 1.0),
+                     jnp.inf)                     # empty colors sort last
+    order = jnp.argsort(mean)                     # lowest color first
+    rank = jnp.zeros((K + 1,), jnp.int32).at[order].set(
+        jnp.arange(K, dtype=jnp.int32))
+    rank = rank.at[K].set(K)
+    return rank[jnp.clip(color, 0, K)]
+
+
 def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
     """Greedy manifold graph coloring via iterated scatter-min claims.
 
@@ -141,6 +169,7 @@ def color_manifolds(man: Manifolds, bodies: Bodies, cfg: SimConfig):
         )
     color, relax, spilled = _spill_relax(
         man, color, dyn_a, dyn_b, n_bodies, cfg)
+    color = order_colors_by_height(color, man, cfg)
 
     n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
     return color, n_used, relax, jnp.sum(spilled.astype(jnp.int32))
@@ -243,15 +272,18 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
 
     color, relax, spilled = _spill_relax(
         man, color, dyn_a, dyn_b, n_bodies, cfg)
-    n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
     new_cache = ColorCache(
         ga=man.ga, gb=man.gb,
+        # the cache keeps the STABLE labels (pre height-rank) so joins don't
+        # churn as the pile's height profile evolves
         color=jnp.where(man.valid, color, 0),
         # spilled manifolds carry under-relaxation, not a real slot — they
         # retry a proper color next frame rather than pinning the spill color
         valid=man.valid & ~spilled,
         dynbits=dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32),
     )
+    color = order_colors_by_height(color, man, cfg)
+    n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1
     return ((color, n_used, relax,
              jnp.sum(spilled.astype(jnp.int32))), new_cache)
 
@@ -319,7 +351,12 @@ def setup_constraints(bodies: Bodies, man: Manifolds,
                 cfg.baumgarte / cfg.dt
                 * jnp.maximum(man.depth - cfg.deep_bias_ungated_depth, 0.0),
                 cfg.deep_bias_ungated_vel))
-        pos_bias = baum
+        # pseudo channel gets its own (much higher) cap: position-only
+        # corrections carry no momentum, and they must outrun the
+        # under-converged column creep (see SimConfig.max_pseudo_vel)
+        pos_bias = jnp.minimum(
+            cfg.baumgarte / cfg.dt * jnp.maximum(man.depth - cfg.slop, 0.0),
+            cfg.max_pseudo_vel)
     else:
         bias = baum
         pos_bias = jnp.zeros_like(baum)

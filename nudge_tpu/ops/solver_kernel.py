@@ -641,5 +641,12 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
                 + max(2 * acc_rows_eff * mpad,
                       (vr + body_tbl_rows) * npad) * 4)
     buffers = 2 * CON_ROWS * GROUP * 4   # double-buffered con group stream
-    # ~16MB VMEM per core; leave ~4MB for Mosaic temporaries/spills
-    return (resident + buffers) < 12 * 1024 * 1024
+    # This chip (TPU v5 lite) holds 120MB of simultaneously-resident Pallas
+    # buffers without complaint (measured 2026-08-19, /tmp/vmem_probe.py:
+    # 60MB in + 60MB out copies run fine; the generic "~16MB/core" guide
+    # figure is wrong for v5e). Budget 96MB, leaving >24MB for Mosaic
+    # temporaries/spills. The old 12MB bound capped max_manifolds at ~2 per
+    # body at n=20480 — BELOW the ~3.2 manifolds/body a settled dense pile
+    # needs — so the capacity-tuned bench overflowed and dropped
+    # load-bearing contacts once the pile compacted.
+    return (resident + buffers) < 96 * 1024 * 1024

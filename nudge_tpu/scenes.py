@@ -138,6 +138,14 @@ class SceneBuilder:
             max_connections=len(self.connections),
         )
         kw.update(overrides)
+        if "max_lin_vel" not in kw:
+            # tunneling armor (SimConfig.max_lin_vel): 1.25x the free-fall
+            # speed from the scene's highest spawn — never touches
+            # legitimate motion; the 20 m/s floor keeps small scenes and
+            # user-thrown bodies unaffected
+            g = float(np.linalg.norm(kw.get("gravity", (0.0, -9.81, 0.0))))
+            h = max((p[1] for p in self.pos), default=0.0) + 2.0
+            kw["max_lin_vel"] = max(20.0, 1.25 * float(np.sqrt(2 * g * h)))
         return SimConfig(**kw)
 
     # -- finalize ----------------------------------------------------------
@@ -231,11 +239,20 @@ class SceneBuilder:
 # Canonical benchmark scenes (BASELINE.md configs 1-5)
 # ---------------------------------------------------------------------------
 
-GROUND_HALF = (50.0, 0.5, 50.0)
+# Thick slab, top face at y=0. The thickness is tunneling armor, not
+# aesthetics: a collapsing tall pile ejects boxes ABOVE free-fall speed
+# (Newton's-cradle focusing; observed 47 m/s on the 20,480 drop where free
+# fall tops out at 24). A fast box driven past a thin slab's CENTER plane
+# flips the SAT normal and the solver expels it DOWNWARD into eternal free
+# fall (PE -> -inf, round-2/3 TPU explosions). With a 10-deep slab the flip
+# plane is unreachable, so deep ground penetration always decompresses the
+# right way.
+GROUND_HALF = (50.0, 10.0, 50.0)
 
 
 def _ground(b: SceneBuilder, friction=0.8):
-    return b.add_static_box(GROUND_HALF, (0.0, -0.5, 0.0), friction=friction)
+    return b.add_static_box(GROUND_HALF, (0.0, -GROUND_HALF[1], 0.0),
+                            friction=friction)
 
 
 def scene_single_box(drop_height: float = 2.0):
@@ -291,9 +308,9 @@ def scene_pile_batch(n_scenes: int, bodies_per_scene: int,
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     side_sc = int(np.ceil(np.sqrt(n_scenes)))
-    ground_half = (side_sc * scene_spacing / 2 + 50, 0.5,
-                   side_sc * scene_spacing / 2 + 50)
-    b.add_static_box(ground_half, (0.0, -0.5, 0.0), friction=0.8)
+    ground_half = (side_sc * scene_spacing / 2 + 50, 10.0,
+                   side_sc * scene_spacing / 2 + 50)  # thick: see GROUND_HALF
+    b.add_static_box(ground_half, (0.0, -ground_half[1], 0.0), friction=0.8)
     side = int(np.ceil(bodies_per_scene ** (1 / 3)))
     d = 2 * half * 1.15
     for s in range(n_scenes):

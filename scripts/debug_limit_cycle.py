@@ -80,7 +80,7 @@ def probe(st, cfg):
 
 def run(n, chunks, **over):
     b = scene_pile(n, seed=3)
-    cfg = b.auto_config(max_box_box_pairs=5 * n, max_manifolds=2 * n,
+    cfg = b.auto_config(max_box_box_pairs=5 * n, max_manifolds=3 * n,
                         grid_density=16, **over)
     st = b.finalize(cfg)
     g = 9.81
@@ -102,7 +102,9 @@ def run(n, chunks, **over):
               f"awake={int(np.asarray(m.awake_count)[-1])} "
               f"conflicts={conf} colorhits={hits}/{valid} ncolors={ncol} "
               f"spill={int(np.asarray(m.spill_count).max())} "
-              f"ovf={int(np.asarray(m.overflow).sum())}",
+              f"ovf={int(np.asarray(m.overflow).sum())} "
+              f"ovfbits={int(np.bitwise_or.reduce(np.asarray(m.overflow_bits)))} "
+              f"mdemand={int(np.asarray(m.manifold_demand).max())}",
               flush=True)
 
 
