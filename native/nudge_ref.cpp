@@ -723,7 +723,9 @@ int main(int argc, char** argv) {
   float sphere_frac = argc > 4 ? (float)atof(argv[4]) : 0.f;  // config 3: 0.25
 
   World w;
-  w.add_box({50, 0.5f, 50}, {0, -0.5f, 0}, {0,0,0,1}, 0);  // ground
+  // thick wide slab, top at y=0 — mirrors nudge_tpu.scenes.GROUND_HALF
+  // (tunneling armor + room for the big-pile walls; see scenes.py)
+  w.add_box({60, 10.f, 60}, {0, -10.f, 0}, {0,0,0,1}, 0);  // ground
   // same jittered-grid pile as nudge_tpu.scenes.scene_pile
   int side = (int)std::ceil(std::cbrt((double)n));
   float half = 0.5f, d = 2*half*1.15f;
@@ -747,12 +749,16 @@ int main(int argc, char** argv) {
         }
         count++;
       }
-  if (sphere_frac > 0) {
+  if (sphere_frac > 0 || n >= 4096) {
     // four static containment walls, same geometry as scenes.scene_pile
-    // (walls=True): spheres have no rolling resistance and roll off an
-    // open slab into eternal free-fall otherwise
+    // (walls default): spheres roll off an open slab; tall box collapses
+    // (20,480 = 26 layers) launch ballistic ejecta past the slab edge.
+    // Height covers the ejecta ceiling of the TPU side's speed clamp.
     float ext = std::max(side * d * 1.5f, 12 * half);
-    float wh = std::max(4 * half, side * d * 0.5f), wt = half;
+    int layers = (n + side*side - 1) / (side*side);
+    float ymax = half*1.5f + (layers - 1)*d + half;
+    float wh = std::max({4*half, side*d*0.5f, 0.79f*(ymax + 2.f) + 1.f});
+    float wt = std::max(half, 2.f);
     const int sgn[4][2] = {{1,0}, {-1,0}, {0,1}, {0,-1}};
     for (auto& s : sgn)
       w.add_box({s[0] ? wt : ext + 2*wt, wh, s[1] ? wt : ext + 2*wt},

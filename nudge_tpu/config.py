@@ -175,6 +175,16 @@ class SimConfig:
     sleep_ang_vel: float = 0.10     # |ω| threshold
     sleep_frames: int = 60          # idle frames before a body may sleep
     island_sweeps: int = 8          # label-propagation rounds for island grouping
+    # kill plane (needs sleeping=True): a dynamic body whose center falls
+    # below this y is force-slept and never woken — it has left the world.
+    # Runaway debris in eternal free fall is not just untidy: at extreme
+    # coordinates it drags the grid broadphase's mean re-base anchor and
+    # clamps the LIVE scene into border cells (observed round 3: ~1,100
+    # ejecta at y ~ -10^3 re-exploded the settled 20,480 pile). Default off;
+    # prefer containment geometry where possible — force-slept bodies park
+    # in a border cell of the grid and can raise the density-overflow flag
+    # if many accumulate.
+    kill_plane_y: float = -1e9
     # wake hysteresis: a contact only wakes a sleeper if the toucher moves
     # faster than wake_factor x the sleep thresholds PRE-solve. Settled piles
     # keep a few residual jigglers slightly above the sleep threshold; at

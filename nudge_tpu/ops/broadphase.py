@@ -43,6 +43,10 @@ class CandidatePairs:
     b: jnp.ndarray          # i32[P] collider index (second class)
     valid: jnp.ndarray      # bool[P]
     count: jnp.ndarray      # i32 true number of candidates (may exceed P)
+    # overflow attribution (grid attaches it to the bb class): bit0 pair
+    # capacity, bit1 grid cell-density budget, bit2 grid expand capacity.
+    # None on paths that do not produce it (per-step persistent refilter).
+    flags: jnp.ndarray = None  # i32, optional
 
     @property
     def overflow(self) -> jnp.ndarray:
@@ -173,5 +177,6 @@ def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         )
         bs = ss = empty
 
+    bb = bb.replace(flags=jnp.where(bb.overflow, 1, 0).astype(jnp.int32))
     return bb, bs, ss
 

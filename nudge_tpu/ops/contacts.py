@@ -48,9 +48,9 @@ class Manifolds:
     count: jnp.ndarray        # i32 true manifold count (may exceed M)
     overflow: jnp.ndarray     # bool: any pair/manifold capacity exceeded
     # attribution bitmask for `overflow` (which capacity blew):
-    # bit0 box-box pairs (incl. grid density/expand, surfaced via bb.count)
-    # bit1 box-sphere pairs | bit2 sphere-sphere pairs
+    # bit0 box-box pairs | bit1 box-sphere | bit2 sphere-sphere
     # bit3 manifold compaction | bit4 persistent-broadphase rebuild
+    # bit5 grid cell-density budget | bit6 grid expand capacity
     overflow_bits: jnp.ndarray = None  # i32, optional (None in unit fixtures)
 
     @property
@@ -268,6 +268,9 @@ def collide(state: SimState, cfg: SimConfig):
     if ss.a.shape[0] > 0:
         pair_overflow |= ss.overflow
         bits |= jnp.where(ss.overflow, 4, 0).astype(jnp.int32)
+    if bb.flags is not None:        # grid density/expand -> bits 5/6
+        bits |= ((bb.flags >> 1) & 3) << 5
     if cfg.persistent_broadphase:
         bits |= jnp.where(bp.overflow, 16, 0).astype(jnp.int32)
+        bits |= ((bp.flags >> 1) & 3) << 5  # rebuild-time grid internals
     return compact_manifolds(slots, cfg, pair_overflow, pair_bits=bits), bp

@@ -257,10 +257,17 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         )
         bs = ss = empty
 
-    # surface grid-level overflow through the bb count so collide() sees it
+    # surface grid-level overflow through the bb count so collide() sees it,
+    # with attribution in bb.flags (bit0 pair cap, bit1 cell-density budget,
+    # bit2 expand capacity — round-3: "overflow:true" alone cannot tell a
+    # pair-capacity spike from a density budget miss, and they need opposite
+    # fixes)
     bb = bb.replace(
         count=jnp.where(pair_overflow,
                         jnp.maximum(bb.count, cfg.max_box_box_pairs + 1),
-                        bb.count)
+                        bb.count),
+        flags=(jnp.where(total > pcap, 1, 0)
+               | jnp.where(density_overflow, 2, 0)
+               | jnp.where(expand_overflow, 4, 0)).astype(jnp.int32),
     )
     return bb, bs, ss

@@ -48,6 +48,9 @@ class BPCache:
     ss_b: jnp.ndarray
     ss_valid: jnp.ndarray
     overflow: jnp.ndarray   # bool
+    flags: jnp.ndarray      # i32 rebuild-time attribution (grid bb.flags:
+                            # bit0 fat pair cap, bit1 cell density, bit2
+                            # expand cap; 0 when the rebuild was clean)
     anchor_pos: jnp.ndarray   # f32[N,3]
     anchor_quat: jnp.ndarray  # f32[N,4]
     stale: jnp.ndarray        # bool: force rebuild (initial state)
@@ -81,6 +84,7 @@ def empty_bp_cache(cfg: SimConfig, n_bodies: int) -> BPCache:
         bs_a=z(ns), bs_b=z(ns), bs_valid=f(ns),
         ss_a=z(nss), ss_b=z(nss), ss_valid=f(nss),
         overflow=jnp.asarray(False),
+        flags=jnp.zeros((), jnp.int32),
         anchor_pos=jnp.zeros((n_bodies, 3), jnp.float32),
         anchor_quat=jnp.zeros((n_bodies, 4), jnp.float32),
         stale=jnp.asarray(True),
@@ -118,6 +122,9 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
         ovf = bb.overflow
         if bs.a.shape[0] > 0:
             ovf |= bs.overflow | ss.overflow
+        flg = jnp.where(ovf, 1, 0).astype(jnp.int32)
+        if bb.flags is not None:
+            flg = flg | bb.flags
         return BPCache(
             bb_a=bb.a, bb_b=bb.b, bb_valid=bb.valid,
             bs_a=bs.a if bs.a.shape[0] else state.bp.bs_a,
@@ -127,6 +134,7 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
             ss_b=ss.b if ss.a.shape[0] else state.bp.ss_b,
             ss_valid=ss.valid if ss.a.shape[0] else state.bp.ss_valid,
             overflow=ovf,
+            flags=flg,
             anchor_pos=state.bodies.pos,
             anchor_quat=state.bodies.quat,
             stale=jnp.asarray(False),

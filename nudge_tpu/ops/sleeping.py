@@ -98,6 +98,13 @@ def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
     awake = awake | wake_flag
     idle = jnp.where(wake_flag | falls_asleep, 0, idle)
 
+    # --- kill plane (SimConfig.kill_plane_y): bodies below it have left the
+    # world — force-sleep, never wake. ---
+    if cfg.kill_plane_y > -1e8:
+        below = dyn & (bodies.pos[:, 1] < cfg.kill_plane_y)
+        falls_asleep = falls_asleep | (below & awake)
+        awake = awake & ~below
+
     # --- parked pairs: keep those still fully asleep, add this frame's
     # contacts whose endpoints both just went (or stayed) asleep. ---
     asleep = dyn & ~awake

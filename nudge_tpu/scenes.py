@@ -246,8 +246,9 @@ class SceneBuilder:
 # flips the SAT normal and the solver expels it DOWNWARD into eternal free
 # fall (PE -> -inf, round-2/3 TPU explosions). With a 10-deep slab the flip
 # plane is unreachable, so deep ground penetration always decompresses the
-# right way.
-GROUND_HALF = (50.0, 10.0, 50.0)
+# right way. 60 wide so the containment walls of the largest pile (ext+wt
+# ~= 50.3 at 20,480 bodies) stand fully on the slab.
+GROUND_HALF = (60.0, 10.0, 60.0)
 
 
 def _ground(b: SceneBuilder, friction=0.8):
@@ -388,17 +389,23 @@ def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
                seed: int = 0, spacing: float = 1.15, walls: bool = None):
     """BASELINE configs 3 & 4: jittered grid of falling bodies above ground.
     sphere_frac > 0 mixes spheres in (config 3). `walls` (default: on iff
-    spheres are present) rings the pile with four static walls: rigid
-    spheres have no rolling resistance, so on an open slab they roll off
-    the edge and free-fall forever — the "settled" mixed pile would
-    otherwise carry a few runaway bodies with unbounded KE."""
+    spheres are present OR the pile is big) rings the pile with four static
+    walls: rigid spheres have no rolling resistance, so on an open slab
+    they roll off the edge and free-fall forever; and a TALL collapse
+    (20,480 = 26 layers) launches ballistic box ejecta that clear the slab
+    edge ~34m away (measured round 3: ~1,030 of 20,480 boxes in eternal
+    free fall, pinning KE at ~5e5 and keeping the scene from ever reaching
+    all-asleep). Walls are sized to the ejecta ceiling: the speed clamp
+    (SimConfig.max_lin_vel, 1.25x free fall) bounds ballistic height by
+    vcap^2/2g, and the walls top out above it, thick enough (2m half) that
+    a clamped body cannot cross one in a step."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     _ground(b)
     side = int(np.ceil(n_bodies ** (1 / 3)))
     d = 2 * half * spacing
     if walls is None:
-        walls = sphere_frac > 0
+        walls = sphere_frac > 0 or n_bodies >= 4096
     count = 0
     for iy in range(side * 2):
         for ix in range(side):
@@ -420,9 +427,14 @@ def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
     if walls:
         # appended AFTER the pile so dynamic-body indices are unchanged
         ext = max(side * d * 1.5, 12 * half)   # footprint + scatter margin
-        # wall height scales with the drop column so collapse splash cannot
-        # eject bodies over the rim
-        wh, wt = max(4 * half, side * d * 0.5), half
+        # wall half-height covers the ballistic ceiling of clamp-limited
+        # ejecta: vcap = 1.25*sqrt(2g(ymax+2)) (auto_config's max_lin_vel),
+        # ceiling = vcap^2/2g = 1.5625*(ymax+2); walls top out at 2*wh above
+        # it. Thick (2m half) so a clamped body cannot tunnel a wall in one
+        # 1/60 step (0.53m at vcap~32).
+        ymax = half * 1.5 + (-(-n_bodies // (side * side)) - 1) * d + half
+        wh = max(4 * half, side * d * 0.5, 0.79 * (ymax + 2.0) + 1.0)
+        wt = max(half, 2.0)
         for sx, sz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
             b.add_static_box(
                 (wt if sx else ext + 2 * wt, wh, wt if sz else ext + 2 * wt),

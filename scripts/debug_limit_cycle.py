@@ -80,8 +80,10 @@ def probe(st, cfg):
 
 def run(n, chunks, **over):
     b = scene_pile(n, seed=3)
-    cfg = b.auto_config(max_box_box_pairs=5 * n, max_manifolds=3 * n,
-                        grid_density=16, **over)
+    kw = dict(max_box_box_pairs=5 * n, max_manifolds=3 * n,
+              grid_density=16)
+    kw.update(over)
+    cfg = b.auto_config(**kw)
     st = b.finalize(cfg)
     g = 9.81
     for chunk in range(chunks):

@@ -56,8 +56,10 @@ def scene_tower(base: int, layers: int, half: float = 0.5,
 def run(base, layers, chunks, **over):
     n = base * base * layers
     b = scene_tower(base, layers)
-    cfg = b.auto_config(max_box_box_pairs=5 * n, max_manifolds=3 * n,
-                        grid_density=16, **over)
+    kw = dict(max_box_box_pairs=5 * n, max_manifolds=3 * n,
+              grid_density=16)
+    kw.update(over)
+    cfg = b.auto_config(**kw)
     st = b.finalize(cfg)
     g = 9.81
     for chunk in range(chunks):

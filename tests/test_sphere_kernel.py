@@ -13,7 +13,7 @@ from nudge_tpu.ops.contacts import narrowphase_all
 from nudge_tpu.scenes import scene_pile
 
 
-def _mixed_state(n=96, steps=30):
+def _mixed_state(n=64, steps=20):
     b = scene_pile(n, sphere_frac=0.4, seed=7)
     cfg = b.auto_config()
     st, _ = simulate(b.finalize(cfg), cfg, steps)
