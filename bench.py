@@ -1,4 +1,4 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE JSON line for the driver, ALWAYS.
 
 Headline metric (BASELINE.md): steps/sec on the settled 20,480-box pile
 (BASELINE config 4 — the north-star scene) on one TPU chip, with the engine
@@ -8,6 +8,21 @@ single-threaded C++ reference engine in native/ (AVX2 conflict-free-batch
 solver; the upstream published no numbers and its source was not mountable —
 SURVEY.md §0/§6 — so native/nudge_ref.cpp re-implements the same pipeline
 as the CPU anchor).
+
+Driver contract (round-3 lesson, VERDICT r3 item 1): BENCH_r03.json was
+rc:124 — the bench was SIGKILLed mid-settle and emitted NOTHING. This file
+now guarantees one JSON line under a hard wall-clock budget:
+
+  * `NUDGE_BENCH_BUDGET_S` (default 1500 s) is the total budget. Every
+    phase checks the deadline; on expiry the bench stops measuring, labels
+    the output `"truncated": "<phase>"`, and emits whatever it has.
+  * A daemon watchdog thread emits the partial result and hard-exits at
+    budget+grace even if the main thread is wedged inside a relay sync
+    (block_until_ready through the axon relay has hung before).
+  * SIGTERM/SIGALRM handlers emit before dying, so a driver `timeout`
+    shorter than our budget still gets the line (timeout sends TERM first).
+  * The two native-baseline subprocesses run CONCURRENTLY with the TPU
+    measurement instead of serially after it.
 
 Fidelity gates ride along in `detail`: kinetic-energy trend across the
 measurement window (split impulse keeps it decaying), max penetration
@@ -21,13 +36,83 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 from nudge_tpu.utils.platform import enable_compilation_cache
 
 enable_compilation_cache()
+
+# ---------------------------------------------------------------- budget ---
+
+BUDGET_S = float(os.environ.get("NUDGE_BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
+
+
+def time_left() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+# The one output object. Phases mutate it in place so the watchdog/signal
+# paths can emit a meaningful partial line at any moment.
+_OUT: dict = {
+    "metric": "bench did not reach any measurement",
+    "value": None,
+    "unit": "steps/sec",
+    "vs_baseline": None,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def emit() -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        _OUT.setdefault("elapsed_s", round(time.monotonic() - _T0, 1))
+        if _OUT.get("value") is None:
+            # watchdog/signal emission mid-run: surface whatever partial
+            # measurement exists so the driver records a real number
+            t = (_OUT.get("detail") or {}).get("tpu") or {}
+            _OUT["value"] = (t.get("steps_per_sec")
+                             or t.get("impact_steps_per_sec"))
+        try:
+            print(json.dumps(_OUT), flush=True)
+        except Exception:                        # noqa: BLE001
+            print(json.dumps({"metric": "emit failed", "value": None,
+                              "unit": "steps/sec", "vs_baseline": None}),
+                  flush=True)
+
+
+def _watchdog() -> None:
+    """Emit + hard-exit at budget + grace even if main is wedged in a
+    relay sync (Python signal handlers can't run while the main thread is
+    blocked inside a C call; a plain thread can)."""
+    grace = 45.0
+    while True:
+        t = time_left() + grace
+        if t <= 0:
+            break
+        time.sleep(min(t, 30.0))
+    _OUT.setdefault("truncated", "watchdog: budget+grace expired")
+    emit()
+    os._exit(0)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    _OUT.setdefault("truncated", f"signal {signum}")
+    emit()
+    os._exit(0)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGALRM, _on_signal)
 
 
 def probe_backend(timeout_s: float = 240.0) -> str:
@@ -46,11 +131,13 @@ def probe_backend(timeout_s: float = 240.0) -> str:
         out = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
-            check=True, capture_output=True, timeout=timeout_s, text=True)
+            check=True, capture_output=True,
+            timeout=min(timeout_s, max(30.0, time_left() * 0.25)), text=True)
         return out.stdout.strip() or "ambient"
     except Exception:
         force_cpu()
         return "cpu-fallback(backend unreachable)"
+
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -76,50 +163,102 @@ def tuned_config(builder, n_bodies: int, **overrides):
     return builder.auto_config(**kw)
 
 
-def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
+# ------------------------------------------------------- native baseline ---
+
+def _native_exe() -> str | None:
+    exe = os.path.join(_NATIVE, "nudge_ref")
+    try:
+        if not os.path.exists(exe):
+            subprocess.run(["make", "-C", _NATIVE], check=True,
+                           capture_output=True, timeout=120)
+        return exe
+    except Exception:
+        return None
+
+
+def start_cpu_baseline(n_bodies: int, steps: int = 100, settle: int = 600,
+                       sphere_frac: float = 0.0):
+    """Launch the C++ reference engine as a background subprocess (it runs
+    concurrently with the TPU measurement — round-3's serial placement put
+    ~2x 200-400 s of native time AFTER the TPU work and blew the driver
+    window). Returns a Popen or None."""
+    exe = _native_exe()
+    if exe is None:
+        return None
+    try:
+        return subprocess.Popen(
+            [exe, str(n_bodies), str(steps), str(settle), str(sphere_frac)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    except Exception:
+        return None
+
+
+def collect_cpu_baseline(proc, deadline_s: float):
+    """Join a baseline subprocess within `deadline_s`; kill + None on any
+    failure."""
+    if proc is None:
+        return None
+    try:
+        out, _ = proc.communicate(timeout=max(1.0, deadline_s))
+        if proc.returncode != 0:
+            return None
+        return json.loads(out.strip())
+    except Exception:
+        try:
+            proc.kill()
+            proc.communicate(timeout=10)
+        except Exception:
+            pass
+        return None
+
+
+# ------------------------------------------------------------ TPU phases ---
+
+def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                reference_mode: bool = True, long_window: int = 1000,
-               sphere_frac: float = 0.0):
+               sphere_frac: float = 0.0, reserve_s: float = 90.0):
     """Settled-pile throughput. `reference_mode` runs the engine the way the
     reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
     falling/impact phase (first `steps` window, everything awake) is
     reported separately. `sphere_frac` > 0 mixes spheres in (BASELINE
     config 3 is a 2,048-body mixed boxes+spheres pile).
 
-    Crash resilience (round-2 lesson, VERDICT r2 item 1): the round-2 TPU
-    worker died inside the monolithic 1000-step long-window scan and the
-    whole bench emitted NOTHING (rc:1). Every phase past the first
-    measurement now updates the result dict incrementally and any exception
-    is captured into r["error"] instead of propagating — a partial number
-    with an error label beats an empty round. The long window itself is
-    measured in `steps`-sized chunks (the repo's own hygiene rule,
-    docs/PERF_NOTES.md: long single executions get killed by the relay),
-    with an optional monolithic scan attempted afterwards as best-effort."""
+    Results accumulate into the caller-owned dict `r` so the watchdog and
+    signal paths always see the latest partial numbers. Every phase checks
+    the wall-clock budget (keeping `reserve_s` for finalization) and marks
+    `r["truncated"]` instead of blowing the driver window."""
     from nudge_tpu.engine import simulate
     from nudge_tpu.scenes import scene_pile
+
+    def out_of_time(extra: float = 0.0) -> bool:
+        return time_left() < reserve_s + extra
 
     b = scene_pile(n_bodies, sphere_frac=sphere_frac)
     over = dict(sleeping=True, persistent_broadphase=True) \
         if reference_mode else {}
     cfg = tuned_config(b, n_bodies, **over)
     st = b.finalize(cfg)
-    r = {"sleeping_mode": reference_mode, "error": None}
+    r.update({"sleeping_mode": reference_mode, "error": None})
 
     # impact phase: first window from the initial drop, everything moving
     t0 = time.perf_counter()
     st, m = simulate(st, cfg, steps)
     np.asarray(st.bodies.pos)      # hard sync (block_until_ready can lie
-    _ = time.perf_counter() - t0   # through the axon relay); compile pass
+    compile_dt = time.perf_counter() - t0   # through the relay)
+    r["compile_plus_first_window_s"] = round(compile_dt, 1)
     t0 = time.perf_counter()
     st, m = simulate(st, cfg, steps)
     np.asarray(st.bodies.pos)
     impact_dt = time.perf_counter() - t0
     r["impact_steps_per_sec"] = round(steps / impact_dt, 2)
+    chunk_cost = impact_dt        # rolling per-window cost estimate
 
     # settle to steady state. With sleeping on, sleep onset takes O(1000)
     # steps at 2048+ bodies and avalanche pockets keep re-waking stragglers
     # (docs/PERF_NOTES.md "friction-convergence creep") — a fixed short
     # settle measures a transient. Keep settling until the awake count has
-    # stopped falling for two consecutive chunks (cap 25 chunks).
+    # stopped falling for two consecutive chunks (cap 25 chunks) or the
+    # budget says stop.
     settle_steps = 2 * steps   # compile + impact windows above
     try:
         if reference_mode:
@@ -131,8 +270,13 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
             s = max(steps, 120)
             prev, flat = None, 0
             for _ in range(25):
+                if out_of_time(chunk_cost * (s / steps) * 1.5):
+                    r["truncated"] = "settle"
+                    break
+                t0 = time.perf_counter()
                 st, m = simulate(st, cfg, s)
                 aw = int(np.asarray(m.awake_count)[-1])
+                chunk_cost = (time.perf_counter() - t0) * steps / s
                 settle_steps += s
                 r["settle_steps"] = settle_steps
                 r["awake"] = aw
@@ -143,12 +287,22 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
                 if aw == 0 or flat >= 2:
                     break
 
+        # settled native baseline can start now that settle_steps is known;
+        # it runs concurrently with the measurement + long window below
+        r["_settle_steps_final"] = settle_steps
+
         dt = None
+        done = 0
         for i in range(chunks):
+            if done >= 1 and out_of_time(chunk_cost * 1.5):
+                r["truncated"] = "measure"
+                break
             t0 = time.perf_counter()
             st, m = simulate(st, cfg, steps)
             np.asarray(st.bodies.pos)
             dt = time.perf_counter() - t0
+            chunk_cost = dt
+            done += 1
             if i < chunks - 1:
                 settle_steps += steps
         m = jax.tree.map(np.asarray, m)
@@ -167,25 +321,30 @@ def bench_pile(n_bodies: int, steps: int, chunks: int = 5,
         # long-window number: per-call dispatch (~30 ms through the relay)
         # dominates short windows once the scene sleeps; a real rollout
         # amortizes it away. Measured over `steps`-sized chunks (already
-        # compiled, crash-safe); a monolithic single-scan attempt follows
-        # as best-effort upside.
+        # compiled, crash-safe, deadline-aware).
         if reference_mode and long_window:
             n_lw = max(1, long_window // steps)
             t0 = time.perf_counter()
+            lw_done = 0
             for _ in range(n_lw):
+                if out_of_time(chunk_cost * 1.5):
+                    r["truncated"] = "long_window"
+                    break
                 st, _ = simulate(st, cfg, steps)
-            np.asarray(st.bodies.pos)
-            r["steps_per_sec_long_window"] = round(
-                n_lw * steps / (time.perf_counter() - t0), 2)
-            r["long_window_steps"] = n_lw * steps
-            r["long_window_mode"] = f"{n_lw}x{steps}-step chunks"
+                lw_done += 1
+            if lw_done:
+                np.asarray(st.bodies.pos)
+                r["steps_per_sec_long_window"] = round(
+                    lw_done * steps / (time.perf_counter() - t0), 2)
+                r["long_window_steps"] = lw_done * steps
+                r["long_window_mode"] = f"{lw_done}x{steps}-step chunks"
         r["overflow"] = bool(m.overflow.any())
         r["spill"] = int(m.spill_count.max())
     except Exception as e:                       # noqa: BLE001
         r["error"] = f"{type(e).__name__}: {e}"[:500]
     if "steps_per_sec" not in r:
-        # crashed before any settled measurement: report the impact number
-        # as the headline so `value` is still a real measurement
+        # crashed/timed out before any settled measurement: report the
+        # impact number as the headline so `value` is still a measurement
         r["steps_per_sec"] = r.get("impact_steps_per_sec")
     return r
 
@@ -205,6 +364,8 @@ def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
         st, m = simulate(st, cfg, steps)
         np.asarray(st.bodies.pos)
         dt = time.perf_counter() - t0
+        if i >= 1 and time_left() < 90 + dt * 1.5:
+            break
     return {
         "scenes": n_scenes,
         "bodies_per_scene": bodies,
@@ -231,11 +392,14 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
     n_chunks = max(1, n_scenes // 256)
     sim = batched_simulate_chunked(cfg, steps, n_chunks)
     dt = None
-    for _ in range(3):
+    m = None
+    for i in range(3):
         t0 = time.perf_counter()
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
+        if i >= 1 and time_left() < 90 + dt * 1.5:
+            break
     m = jax.tree.map(np.asarray, m)
     return {
         "scenes": n_scenes,
@@ -265,11 +429,13 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
     sim = megabatch_simulate(cfg, steps)
     dt = None
     m = None
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
+        if i >= 1 and time_left() < 90 + dt * 1.5:
+            break
     m = jax.tree.map(np.asarray, m)
     total_bodies = n_chunks * spc * bodies
     return {
@@ -284,43 +450,20 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
     }
 
 
-def cpu_baseline(n_bodies: int, steps: int = 100, settle: int = 600,
-                 sphere_frac: float = 0.0):
-    """Build (if needed) and run the C++ reference engine. `settle` should
-    match the TPU side's total pre-measurement steps so both engines are
-    timed in the same sleep steady state. `sphere_frac` > 0 builds the same
-    mixed boxes+spheres pile (config 3) with containment walls."""
-    exe = os.path.join(_NATIVE, "nudge_ref")
-    try:
-        if not os.path.exists(exe):
-            subprocess.run(["make", "-C", _NATIVE], check=True,
-                           capture_output=True, timeout=120)
-        out = subprocess.run(
-            [exe, str(n_bodies), str(steps), str(settle), str(sphere_frac)],
-            capture_output=True, timeout=2400, text=True, check=True,
-        )
-        return json.loads(out.stdout.strip())
-    except Exception:
-        return None
-
-
 def main():
     try:
         _main()
     except Exception as e:                       # noqa: BLE001
         # last-ditch driver contract: ONE JSON line, always (round 2 ended
         # rc:1 with no line at all when the TPU worker crashed mid-bench)
-        print(json.dumps({
-            "metric": "bench crashed before completing any measurement",
-            "value": None, "unit": "steps/sec", "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}"[:800],
-        }))
+        _OUT["error"] = f"{type(e).__name__}: {e}"[:800]
+    emit()
 
 
 def _main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bodies", type=int, default=None,
-                    help="pile size (default: 20480 on TPU, 2048 on the "
+                    help="pile size (default: 20480 on TPU, 1024 on the "
                          "CPU fallback — a 20480 JAX-CPU settle takes hours "
                          "and would time out the driver)")
     ap.add_argument("--steps", type=int, default=100)
@@ -342,6 +485,8 @@ def _main():
     args = ap.parse_args()
 
     platform = probe_backend()
+    _OUT["platform"] = platform
+    _OUT["budget_s"] = BUDGET_S
     if args.bodies is None:
         # Honest degradation: the north-star scene (config 4, 20480) is a
         # TPU metric. On the CPU fallback a single settle step costs ~10 s
@@ -355,81 +500,98 @@ def _main():
         r = bench_megachunks(args.scenes, args.scene_bodies,
                              steps=args.vbatch_steps,
                              scenes_per_chunk=args.scenes_per_chunk)
-        print(json.dumps({
+        _OUT.update({
             "metric": (f"body-steps/sec, {r['scenes']} scenes x "
                        f"{args.scene_bodies} bodies (mega-scene chunks, "
                        f"kernel path)"),
             "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
-            "vs_baseline": None,
-            "platform": platform,
             "detail": r,
-        }))
+        })
         return
 
     if args.vbatch:
         r = bench_scene_batch(args.scenes, args.scene_bodies,
                               steps=args.vbatch_steps)
-        print(json.dumps({
+        _OUT.update({
             "metric": (f"body-steps/sec, {args.scenes} scenes x "
                        f"{args.scene_bodies} bodies (vmap batch)"),
             "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
-            "vs_baseline": None,
-            "platform": platform,
             "detail": r,
-        }))
+        })
         return
 
     if args.batch:
         r = bench_flat_batch(64, 512)
-        print(json.dumps({
+        _OUT.update({
             "metric": "body-steps/sec, flattened 64 scenes x 512 bodies",
             "value": r["body_steps_per_sec"],
             "unit": "body-steps/sec/chip",
-            "vs_baseline": None,
-            "platform": platform,
             "detail": r,
-        }))
+        })
         return
 
-    r = bench_pile(args.bodies, args.steps,
-                   reference_mode=not args.no_reference_mode,
-                   long_window=300 if platform.startswith("cpu") else 1000,
-                   sphere_frac=args.sphere_frac)
-    # native settles the same total number of pre-measurement steps (and
-    # builds the same mixed pile for config 3 — it grew sphere narrowphase
-    # in round 3). Two ratios: settled (both engines fully asleep — ours
-    # short-circuits the whole pipeline under lax.cond, the C++ engine
-    # still sweeps its broadphase, so this measures the sleep architecture)
-    # and impact (first window from the drop, everything awake — the
-    # full-pipeline engine-vs-engine number).
-    base = cpu_baseline(args.bodies, settle=r.get("settle_steps", 600),
-                        sphere_frac=args.sphere_frac)
-    base_impact = cpu_baseline(args.bodies, settle=0,
-                               sphere_frac=args.sphere_frac)
+    kind = ("-body mixed box+sphere pile"
+            if args.sphere_frac > 0 else "-box pile")
+    r: dict = {}
+    _OUT.update({
+        "metric": (f"steps/sec on settled {args.bodies}{kind} "
+                   f"(sleeping+persistent broadphase)"),
+        "detail": {"tpu": r, "cpu_baseline": None,
+                   "cpu_baseline_impact": None, "vs_baseline_impact": None},
+    })
+
+    # native impact baseline (settle=0) starts NOW, concurrent with the
+    # whole TPU run; the settled baseline starts once the TPU settle count
+    # is known (bench_pile sets r["_settle_steps_final"]) — we poll for it
+    # from a helper thread so the two native runs overlap the TPU
+    # measurement + long window instead of running serially after them.
+    base_impact_p = start_cpu_baseline(args.bodies, settle=0,
+                                       sphere_frac=args.sphere_frac)
+    base_settled_p: list = [None]
+
+    def _launch_settled():
+        while "_settle_steps_final" not in r and "error" not in r \
+                and time_left() > 60:
+            time.sleep(2.0)
+        settle = r.get("_settle_steps_final", r.get("settle_steps", 600))
+        base_settled_p[0] = start_cpu_baseline(
+            args.bodies, settle=settle, sphere_frac=args.sphere_frac)
+
+    lt = threading.Thread(target=_launch_settled, daemon=True)
+    lt.start()
+
+    bench_pile(args.bodies, args.steps, r,
+               reference_mode=not args.no_reference_mode,
+               long_window=300 if platform.startswith("cpu") else 1000,
+               sphere_frac=args.sphere_frac)
+    r.pop("_settle_steps_final", None)
+    lt.join(timeout=10)
+
+    # collect the two native runs within what's left of the budget
+    base_impact = collect_cpu_baseline(base_impact_p,
+                                       max(5.0, time_left() - 40))
+    base = collect_cpu_baseline(base_settled_p[0],
+                                max(5.0, time_left() - 20))
     vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
           if base and r.get("steps_per_sec") else None)
     vs_impact = (round(r["impact_steps_per_sec"]
                        / base_impact["steps_per_sec"], 3)
                  if base_impact and r.get("impact_steps_per_sec") else None)
-    kind = ("-body mixed box+sphere pile"
-            if args.sphere_frac > 0 else "-box pile")
-    out = {
-        "metric": (f"steps/sec on settled {args.bodies}{kind} "
-                   f"(sleeping+persistent broadphase)"),
-        "value": r["steps_per_sec"],
-        "unit": "steps/sec",
-        "vs_baseline": vs,
-        "platform": platform,
-        "detail": {"tpu": r, "cpu_baseline": base,
-                   "cpu_baseline_impact": base_impact,
-                   "vs_baseline_impact": vs_impact},
-    }
-    if args.all:
-        out["detail"]["pile_2048"] = bench_pile(2048, args.steps)
-        out["detail"]["vbatch_256x512"] = bench_scene_batch(256, 512)
-    print(json.dumps(out))
+    _OUT["value"] = r.get("steps_per_sec")
+    _OUT["vs_baseline"] = vs
+    _OUT["detail"].update({
+        "cpu_baseline": base,
+        "cpu_baseline_impact": base_impact,
+        "vs_baseline_impact": vs_impact,
+    })
+    if "truncated" in r:
+        _OUT["truncated"] = r["truncated"]
+    if args.all and time_left() > 300:
+        _OUT["detail"]["pile_2048"] = bench_pile(2048, args.steps, {})
+        if time_left() > 200:
+            _OUT["detail"]["vbatch_256x512"] = bench_scene_batch(256, 512)
 
 
 if __name__ == "__main__":
