@@ -151,14 +151,25 @@ def tuned_config(builder, n_bodies: int, **overrides):
     densifies (measured: the collapsed 5x5x26 tower pins a 2x-bodies cap and
     silently drops load-bearing contacts, scripts/debug_caps.py), so 3x is
     real headroom, affordable since the VMEM re-measure (kernel_fits: v5e
-    holds ~120MB resident, not 16). Pairs at 5x bodies — well above the
-    settled count for impact-phase spike headroom. Density 16 covers the
-    impact-phase occupancy spike (settled cells hold <= 8, but the falling
-    pile transiently exceeds 12 and dropped pairs turn into deep
-    penetrations)."""
+    holds ~120MB resident, not 16). Pairs at 8x bodies (see inline comment).
+    Density 16 covers the impact-phase occupancy spike (settled cells hold
+    <= 8, but the falling pile transiently exceeds 12 and dropped pairs turn
+    into deep penetrations)."""
     mcap = max(512, int(n_bodies * 3.0))
-    pcap = max(1024, int(n_bodies * 5.0))
-    kw = dict(max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=16)
+    # Pairs at 8x bodies: round-4 TPU telemetry — the compacting 20,480 pile
+    # crossed the old 5x cap (~102k) at ~step 900 while still densifying
+    # (manifold demand 39k and climbing toward the ~2.2/body settled load);
+    # the overflow dropped a contiguous spatial block of pairs and tunneled
+    # ~1,350 boxes through the ground. A fully compacted lattice bounds the
+    # margin-fattened demand at 13/body; 8x + core-first degradation
+    # (ops/persistent_bp.two_tier_compact) holds the load-bearing set under
+    # any transient.
+    # fat_pair_factor 2 keeps the speculative rebuild cache at 16/body,
+    # above the 13/body lattice max (was 3x5=15; 3x8=24 wastes refilter
+    # bandwidth).
+    pcap = max(1024, int(n_bodies * 8.0))
+    kw = dict(max_box_box_pairs=pcap, max_manifolds=mcap, grid_density=16,
+              fat_pair_factor=2)
     kw.update(overrides)
     return builder.auto_config(**kw)
 
@@ -216,7 +227,8 @@ def collect_cpu_baseline(proc, deadline_s: float):
 
 def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                reference_mode: bool = True, long_window: int = 1000,
-               sphere_frac: float = 0.0, reserve_s: float = 90.0):
+               sphere_frac: float = 0.0, reserve_s: float = 90.0,
+               solver: str | None = None):
     """Settled-pile throughput. `reference_mode` runs the engine the way the
     reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
     falling/impact phase (first `steps` window, everything awake) is
@@ -236,6 +248,8 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
     b = scene_pile(n_bodies, sphere_frac=sphere_frac)
     over = dict(sleeping=True, persistent_broadphase=True) \
         if reference_mode else {}
+    if solver:
+        over["solver"] = solver
     cfg = tuned_config(b, n_bodies, **over)
     st = b.finalize(cfg)
     r.update({"sleeping_mode": reference_mode, "error": None})
@@ -566,6 +580,17 @@ def _main():
                reference_mode=not args.no_reference_mode,
                long_window=300 if platform.startswith("cpu") else 1000,
                sphere_frac=args.sphere_frac)
+    if (r.get("error") and r.get("steps_per_sec") is None
+            and not platform.startswith("cpu") and time_left() > 420):
+        # Pallas worker fault class (round-2 ended rc:1 this way): retry
+        # once on the XLA solver so the round still gets a real number
+        _OUT["detail"]["tpu_failed_pallas"] = dict(r)
+        r.clear()
+        r["solver"] = "xla (retry after kernel-path error)"
+        bench_pile(args.bodies, args.steps, r,
+                   reference_mode=not args.no_reference_mode,
+                   long_window=0, sphere_frac=args.sphere_frac,
+                   solver="xla")
     r.pop("_settle_steps_final", None)
     lt.join(timeout=10)
 

@@ -52,6 +52,7 @@ class StepMetrics:
     kinetic_energy: jnp.ndarray  # f32 Σ ½|v|²/inv_mass over dynamic bodies
     overflow_bits: jnp.ndarray   # i32 attribution (Manifolds.overflow_bits)
     manifold_demand: jnp.ndarray  # i32 manifolds wanted (may exceed capacity)
+    pair_demand: jnp.ndarray     # i32 candidate pairs wanted (may exceed caps)
 
 
 def step(state: SimState, cfg: SimConfig):
@@ -81,7 +82,7 @@ def _step_parked(state: SimState, cfg: SimConfig):
     metrics = StepMetrics(
         contact_count=z_i, max_depth=z_f, spill_count=z_i,
         overflow=jnp.zeros((), bool), awake_count=z_i, kinetic_energy=z_f,
-        overflow_bits=z_i, manifold_demand=z_i,
+        overflow_bits=z_i, manifold_demand=z_i, pair_demand=z_i,
     )
     return state.replace(step_count=state.step_count + 1), metrics
 
@@ -90,7 +91,7 @@ def _step_active(state: SimState, cfg: SimConfig):
     bodies = apply_gravity(state.bodies, state.sleep, cfg)
 
     contacts, bp = collide(state, cfg)
-    warm, pwarm = read_cached_impulses(state.cache, contacts)
+    warm, pwarm = read_cached_impulses(state.cache, contacts, cfg)
 
     # Sleeping bodies leave the active set (reference: ActiveBodies excludes
     # them and their momentum is never touched, SURVEY C13): make them STATIC
@@ -163,6 +164,7 @@ def _step_active(state: SimState, cfg: SimConfig):
         kinetic_energy=ke,
         overflow_bits=contacts.overflow_bits,
         manifold_demand=contacts.count,
+        pair_demand=contacts.pair_demand,
     )
     return new_state, metrics
 

@@ -120,13 +120,31 @@ def _compact_pairs(mask, cap: int, n_cols: int) -> CandidatePairs:
     )
 
 
-def _pair_filter(bodies, sleep, body_a, body_b, connections):
+def dead_mask(bodies, sleep, cfg: SimConfig):
+    """bool[N]: bodies force-slept below the kill plane (SimConfig.
+    kill_plane_y) — they have left the world for good and must leave the
+    broadphase entirely. Round-3/4 TPU trace: ~1,350 tunneled boxes in
+    eternal free fall dragged the grid's mean re-base anchor, blew the
+    cell-density budget, and wrecked the LIVE pile's broadphase; merely
+    force-sleeping them still left their colliders occupying grid cells.
+    Returns None when the kill plane is off (no-op for the common case)."""
+    if cfg.kill_plane_y <= -1e8 or not cfg.sleeping:
+        return None
+    return (bodies.dynamic & ~sleep.awake
+            & (bodies.pos[:, 1] < cfg.kill_plane_y))
+
+
+def _pair_filter(bodies, sleep, body_a, body_b, connections, cfg=None):
     """Common candidate filters: distinct bodies, not both non-moving
     (static or asleep — reference routes sleeping pairs aside, SURVEY C13),
-    not user-connected."""
+    neither dead (below the kill plane), not user-connected."""
     moving = (bodies.inv_mass > 0.0) & sleep.awake
     keep = body_a != body_b
     keep &= moving[body_a] | moving[body_b]
+    if cfg is not None:
+        dead = dead_mask(bodies, sleep, cfg)
+        if dead is not None:
+            keep &= ~dead[body_a] & ~dead[body_b]
     if connections.shape[0] > 0:   # static skip for no-connections scenes
         keep &= ~_connection_mask(body_a, body_b, connections)
     return keep
@@ -150,7 +168,8 @@ def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     bb_mask &= iu[:, None] < iu[None, :]
     bb_mask &= bx.valid[:, None] & bx.valid[None, :]
     bb_mask &= _pair_filter(
-        bodies, sleep, bx.body[:, None], bx.body[None, :], state.connections
+        bodies, sleep, bx.body[:, None], bx.body[None, :], state.connections,
+        cfg,
     )
     bb = _compact_pairs(bb_mask, cfg.max_box_box_pairs, nb)
 
@@ -158,7 +177,8 @@ def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         bs_mask = _aabb_overlap(blo, bhi, slo, shi)
         bs_mask &= bx.valid[:, None] & sp.valid[None, :]
         bs_mask &= _pair_filter(
-            bodies, sleep, bx.body[:, None], sp.body[None, :], state.connections
+            bodies, sleep, bx.body[:, None], sp.body[None, :],
+            state.connections, cfg,
         )
         bs = _compact_pairs(bs_mask, cfg.max_box_sphere_pairs, ns)
 
@@ -167,7 +187,8 @@ def allpairs_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         ss_mask &= ju[:, None] < ju[None, :]
         ss_mask &= sp.valid[:, None] & sp.valid[None, :]
         ss_mask &= _pair_filter(
-            bodies, sleep, sp.body[:, None], sp.body[None, :], state.connections
+            bodies, sleep, sp.body[:, None], sp.body[None, :],
+            state.connections, cfg,
         )
         ss = _compact_pairs(ss_mask, cfg.max_sphere_sphere_pairs, ns)
     else:

@@ -81,18 +81,46 @@ def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
     return jnp.where(k_valid[:, None], out, 0.0)
 
 
-def read_cached_impulses(cache: ContactCache, man: Manifolds):
+def read_cached_impulses(cache: ContactCache, man: Manifolds, cfg=None):
     """Warm-start payload for every manifold point: (impulse f32[M,P,3],
-    pseudo f32[M,P])."""
+    pseudo f32[M,P]).
+
+    Aligned fast path (SimConfig.aligned_fast_path): the cache is written in
+    manifold-slot order (write_cached_impulses), so when every valid point's
+    SAME-SLOT cache row carries its key, the join's answer IS that row —
+    contact keys are unique, so no other row could match. One elementwise
+    compare + lax.cond replaces the 4-key lax.sort join whenever the
+    manifold stream is unchanged since last step (settled scenes: almost
+    every step)."""
     m, p = man.feat.shape
     ga_flat = jnp.broadcast_to(man.ga[:, None], (m, p)).reshape(-1)
     gb_flat = jnp.broadcast_to(man.gb[:, None], (m, p)).reshape(-1)
+    feat_flat = man.feat.reshape(-1)
+    pv = man.point_valid.reshape(-1)
     payload = jnp.concatenate([cache.impulse, cache.pseudo[:, None]], axis=-1)
-    out = _join(
-        cache.ga, cache.gb, cache.feat, payload, cache.valid,
-        ga_flat, gb_flat, man.feat.reshape(-1), man.point_valid.reshape(-1),
-    )
-    return out[:, 0:3].reshape(m, p, 3), out[:, 3].reshape(m, p)
+
+    def slow(_):
+        out = _join(
+            cache.ga, cache.gb, cache.feat, payload, cache.valid,
+            ga_flat, gb_flat, feat_flat, pv,
+        )
+        return out[:, 0:3], out[:, 3]
+
+    use_fast = (cfg is not None and cfg.aligned_fast_path
+                and cache.ga.shape[0] == m * p)
+    if use_fast:
+        aligned = jnp.all(
+            ~pv | (cache.valid & (cache.ga == ga_flat)
+                   & (cache.gb == gb_flat) & (cache.feat == feat_flat)))
+
+        def fast(_):
+            return (jnp.where(pv[:, None], cache.impulse, 0.0),
+                    jnp.where(pv, cache.pseudo, 0.0))
+
+        imp, pse = jax.lax.cond(aligned, fast, slow, None)
+    else:
+        imp, pse = slow(None)
+    return imp.reshape(m, p, 3), pse.reshape(m, p)
 
 
 def write_cached_impulses(man: Manifolds, impulse_world: jnp.ndarray,

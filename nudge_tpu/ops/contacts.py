@@ -52,6 +52,9 @@ class Manifolds:
     # bit3 manifold compaction | bit4 persistent-broadphase rebuild
     # bit5 grid cell-density budget | bit6 grid expand capacity
     overflow_bits: jnp.ndarray = None  # i32, optional (None in unit fixtures)
+    # true candidate-pair demand this step (sum over classes; may exceed the
+    # tight caps) — the telemetry that localizes pair-capacity pressure
+    pair_demand: jnp.ndarray = None    # i32, optional
 
     @property
     def contact_count(self) -> jnp.ndarray:
@@ -247,10 +250,16 @@ def collide(state: SimState, cfg: SimConfig):
 
         # sleep filtering happens per step on cached pairs; rebuild caches
         # pairs as if everything were awake so waking islands reconnect
-        # instantly
+        # instantly — except DEAD bodies (below the kill plane), which never
+        # wake and must stay out of the rebuild grid and its mean anchor
+        from .broadphase import dead_mask
+
+        dead = dead_mask(state.bodies, state.sleep, cfg)
+        rb_awake = jnp.ones_like(state.sleep.awake)
+        if dead is not None:
+            rb_awake = rb_awake & ~dead
         awake_state = state.replace(
-            sleep=state.sleep.replace(
-                awake=jnp.ones_like(state.sleep.awake)))
+            sleep=state.sleep.replace(awake=rb_awake))
 
         def base_awake(st, wcx, cfgx):
             return base(awake_state, wcx, cfgx)
@@ -260,17 +269,29 @@ def collide(state: SimState, cfg: SimConfig):
         bb, bs, ss = base(state, wc, cfg)
         bp = state.bp
     slots = narrowphase_all(state, wc, bb, bs, ss, cfg)
+    # bit0 is precise: true class demand > tight capacity (counts are no
+    # longer forced past cap as an overflow sentinel — ADVICE r3). Grid
+    # density/expand drops attribute to bits 5/6 and still raise the step
+    # overflow flag via flags != 0.
     pair_overflow = bb.overflow
     bits = jnp.where(bb.overflow, 1, 0).astype(jnp.int32)
+    pair_demand = bb.count
     if bs.a.shape[0] > 0:
         pair_overflow |= bs.overflow
         bits |= jnp.where(bs.overflow, 2, 0).astype(jnp.int32)
+        pair_demand = pair_demand + bs.count
     if ss.a.shape[0] > 0:
         pair_overflow |= ss.overflow
         bits |= jnp.where(ss.overflow, 4, 0).astype(jnp.int32)
-    if bb.flags is not None:        # grid density/expand -> bits 5/6
+        pair_demand = pair_demand + ss.count
+    if bb.flags is not None:        # grid pair/density/expand -> bits 0/5/6
+        pair_overflow |= bb.flags != 0
+        bits |= jnp.where(bb.flags & 1, 1, 0).astype(jnp.int32)
         bits |= ((bb.flags >> 1) & 3) << 5
     if cfg.persistent_broadphase:
+        # rebuild-time drops poison every reuse step until the next rebuild
+        pair_overflow |= bp.overflow
         bits |= jnp.where(bp.overflow, 16, 0).astype(jnp.int32)
-        bits |= ((bp.flags >> 1) & 3) << 5  # rebuild-time grid internals
-    return compact_manifolds(slots, cfg, pair_overflow, pair_bits=bits), bp
+        bits |= jnp.where(bp.overflow, ((bp.flags >> 1) & 3) << 5, 0)
+    man = compact_manifolds(slots, cfg, pair_overflow, pair_bits=bits)
+    return man.replace(pair_demand=pair_demand), bp

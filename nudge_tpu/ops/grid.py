@@ -38,7 +38,9 @@ from .broadphase import (
 
 def _all_aabbs(state: SimState, wc: WorldColliders, cfg: SimConfig):
     """Unified collider arrays over global ids (boxes then spheres):
-    lo/hi[G,3], body[G], valid[G]."""
+    lo/hi[G,3], body[G], valid[G]. Dead bodies (force-slept below the kill
+    plane) are invalid here: they leave the grid, the mean re-base anchor,
+    and the big-collider side channel for good (see broadphase.dead_mask)."""
     bx, sp = state.boxes, state.spheres
     blo, bhi = box_aabbs(bx.half, wc.box_pos, wc.box_quat, cfg.aabb_margin)
     if cfg.max_spheres > 0:
@@ -49,6 +51,11 @@ def _all_aabbs(state: SimState, wc: WorldColliders, cfg: SimConfig):
         valid = jnp.concatenate([bx.valid, sp.valid])
     else:
         lo, hi, body, valid = blo, bhi, bx.body, bx.valid
+    from .broadphase import dead_mask
+
+    dead = dead_mask(state.bodies, state.sleep, cfg)
+    if dead is not None:
+        valid &= ~dead[jnp.maximum(body, 0)]
     return lo, hi, body, valid
 
 
@@ -217,7 +224,7 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     # avoid double-emitting big-big pairs; grid never emits big pairs
     b_keep &= (bj != bi) & (~big[bj] | (bj > bi))
     b_keep &= _pair_filter(state.bodies, state.sleep, body[bi], body[bj],
-                           state.connections)
+                           state.connections, cfg)
     b_a = jnp.minimum(bi, bj)
     b_b = jnp.maximum(bi, bj)
 
@@ -231,7 +238,6 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
     sel, sel_valid, total = compact_mask(flat_keep, pcap)
     a_s = jnp.where(sel_valid, flat_a[sel], 0)
     b_s = jnp.where(sel_valid, flat_b[sel], 0)
-    pair_overflow = (total > pcap) | density_overflow | expand_overflow
 
     nb = cfg.max_boxes
     is_bb = sel_valid & (b_s < nb)
@@ -257,15 +263,14 @@ def grid_broadphase(state: SimState, wc: WorldColliders, cfg: SimConfig):
         )
         bs = ss = empty
 
-    # surface grid-level overflow through the bb count so collide() sees it,
-    # with attribution in bb.flags (bit0 pair cap, bit1 cell-density budget,
-    # bit2 expand capacity — round-3: "overflow:true" alone cannot tell a
-    # pair-capacity spike from a density budget miss, and they need opposite
-    # fixes)
+    # Attribute grid-level overflow in bb.flags (bit0 pair cap, bit1
+    # cell-density budget, bit2 expand capacity — round-3: "overflow:true"
+    # alone cannot tell a pair-capacity spike from a density budget miss,
+    # and they need opposite fixes). bb.count stays the TRUE class demand
+    # (round-4 / ADVICE r3: the old count-past-cap sentinel made bit0 a
+    # false positive whenever only density/expand blew, and destroyed the
+    # demand telemetry); consumers must OR flags != 0 into their overflow.
     bb = bb.replace(
-        count=jnp.where(pair_overflow,
-                        jnp.maximum(bb.count, cfg.max_box_box_pairs + 1),
-                        bb.count),
         flags=(jnp.where(total > pcap, 1, 0)
                | jnp.where(density_overflow, 2, 0)
                | jnp.where(expand_overflow, 4, 0)).astype(jnp.int32),

@@ -54,6 +54,18 @@ class BPCache:
     anchor_pos: jnp.ndarray   # f32[N,3]
     anchor_quat: jnp.ndarray  # f32[N,4]
     stale: jnp.ndarray        # bool: force rebuild (initial state)
+    # Tight-refilter memo (round-4, VERDICT r3 item 3c): the per-step
+    # refilter's two-tier compaction is a lax.sort over the FAT pair array
+    # (~327k keys at 20,480 bodies) — but its output depends only on the
+    # per-row keep/core code, which near rest is unchanged step over step.
+    # Store the code and the compacted tight box-box list; when the code
+    # matches, reuse the list under lax.cond and skip the sort.
+    bb_code: jnp.ndarray      # i8[Pbb] 0=drop, 1=speculative, 2=core
+    tight_bb_a: jnp.ndarray   # i32[tight cap]
+    tight_bb_b: jnp.ndarray
+    tight_bb_valid: jnp.ndarray  # bool[tight cap]
+    tight_bb_count: jnp.ndarray  # i32 true tight demand
+    memo_ok: jnp.ndarray      # bool: memo refers to the CURRENT fat arrays
 
 
 def fat_cfg(cfg: SimConfig) -> SimConfig:
@@ -88,6 +100,12 @@ def empty_bp_cache(cfg: SimConfig, n_bodies: int) -> BPCache:
         anchor_pos=jnp.zeros((n_bodies, 3), jnp.float32),
         anchor_quat=jnp.zeros((n_bodies, 4), jnp.float32),
         stale=jnp.asarray(True),
+        bb_code=jnp.zeros((fat.max_box_box_pairs,), jnp.int8),
+        tight_bb_a=z(cfg.max_box_box_pairs),
+        tight_bb_b=z(cfg.max_box_box_pairs),
+        tight_bb_valid=f(cfg.max_box_box_pairs),
+        tight_bb_count=jnp.zeros((), jnp.int32),
+        memo_ok=jnp.asarray(False),
     )
 
 
@@ -122,6 +140,8 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
         ovf = bb.overflow
         if bs.a.shape[0] > 0:
             ovf |= bs.overflow | ss.overflow
+        if bb.flags is not None:   # grid density/expand drops are real drops
+            ovf |= bb.flags != 0
         flg = jnp.where(ovf, 1, 0).astype(jnp.int32)
         if bb.flags is not None:
             flg = flg | bb.flags
@@ -138,6 +158,12 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
             anchor_pos=state.bodies.pos,
             anchor_quat=state.bodies.quat,
             stale=jnp.asarray(False),
+            bb_code=jnp.zeros_like(state.bp.bb_code),
+            tight_bb_a=state.bp.tight_bb_a,
+            tight_bb_b=state.bp.tight_bb_b,
+            tight_bb_valid=state.bp.tight_bb_valid,
+            tight_bb_count=state.bp.tight_bb_count,
+            memo_ok=jnp.asarray(False),   # memo indexed the OLD fat arrays
         )
 
     def reuse(_):
@@ -158,24 +184,82 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
     if cfg.max_spheres > 0:
         slo, shi = sphere_aabbs(sp.radius, wc.sph_pos, cfg.aabb_margin)
 
-    from .broadphase import compact_mask
+    def keep_core(valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b):
+        """(keep, core) masks over the fat array. CORE pairs truly overlap
+        with the fattening margin stripped (actually touching /
+        load-bearing); the rest of keep is the SPECULATIVE margin shell."""
+        keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn, cfg)
+        keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
+        m2 = 2.0 * cfg.aabb_margin
+        core = keep & jnp.all((lo_a <= hi_b - m2) & (lo_b <= hi_a - m2),
+                              axis=-1)
+        return keep, core
+
+    def two_tier_compact(keep, core, a, b, live_cap):
+        """Compact to the TIGHT per-class capacity: the re-filtered live set
+        is exactly the population the non-persistent path emits, so
+        everything downstream keeps non-persistent shapes and cost.
+
+        Two-tier degradation (round-4 fix for the step-1000 20,480-pile
+        tunneling): CORE pairs sort ahead of SPECULATIVE margin-only pairs,
+        so capacity overflow sheds the speculative shell first.
+        Index-ordered compaction dropped the cache tail instead, which is
+        grid-cell-major — one contiguous spatial region silently lost ALL
+        its pairs (ground contacts included), free-fell through the floor,
+        and fed the overlap->pairs->overflow loop.
+
+        The core-first key is applied ONLY under overflow pressure
+        (demand > capacity): tier-sorting unconditionally reorders the
+        whole list whenever one pair flips core<->speculative at a margin
+        boundary, which shifts every downstream manifold slot and defeats
+        the aligned fast paths (measured round 4: 1.01x A/B). With no
+        pressure the compaction keeps pure cache order — stable step over
+        step; under pressure stability is sacrificed to save the
+        load-bearing set."""
+        n = a.shape[0]
+        cap = max(live_cap, 1)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pressure = jnp.sum(keep.astype(jnp.int32)) > cap
+        keys = jnp.where(keep,
+                         jnp.where(core | ~pressure, idx, idx + n),
+                         jnp.int32(2 ** 30))
+        sel = jax.lax.sort((keys,), num_keys=1)[0][:cap]
+        if cap > n:
+            sel = jnp.pad(sel, (0, cap - n))
+        cnt = jnp.sum(keep.astype(jnp.int32))
+        vv = jnp.arange(cap) < jnp.minimum(cnt, cap)
+        sel = jnp.where(vv, jnp.where(sel >= n, sel - n, sel), 0)
+        return (jnp.where(vv, a[sel], 0), jnp.where(vv, b[sel], 0), vv, cnt)
 
     def mk(a, b, valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b, live_cap):
-        keep = valid & _pair_filter(bodies, sleep, body_a, body_b, conn)
-        keep &= jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
-        # compact to the TIGHT per-class capacity: the re-filtered live set
-        # is exactly the population the non-persistent path emits, so
-        # everything downstream keeps non-persistent shapes and cost
-        sel, vv, cnt = compact_mask(keep, max(live_cap, 1))
-        return CandidatePairs(
-            a=jnp.where(vv, a[sel], 0), b=jnp.where(vv, b[sel], 0),
-            valid=vv, count=cnt,
-        )
+        keep, core = keep_core(valid, body_a, body_b, lo_a, hi_a, lo_b, hi_b)
+        a_s, b_s, vv, cnt = two_tier_compact(keep, core, a, b, live_cap)
+        return CandidatePairs(a=a_s, b=b_s, valid=vv, count=cnt)
 
-    bb = mk(bp.bb_a, bp.bb_b, bp.bb_valid,
-            bx.body[bp.bb_a], bx.body[bp.bb_b],
-            blo[bp.bb_a], bhi[bp.bb_a], blo[bp.bb_b], bhi[bp.bb_b],
-            cfg.max_box_box_pairs)
+    # Box-box rides a tight-list memo: the compaction output is a pure
+    # function of the keep/core code, which near rest is unchanged step over
+    # step — reuse the stored list under lax.cond and skip the fat-array
+    # sort (VERDICT r3 item 3c).
+    keep_bb, core_bb = keep_core(
+        bp.bb_valid, bx.body[bp.bb_a], bx.body[bp.bb_b],
+        blo[bp.bb_a], bhi[bp.bb_a], blo[bp.bb_b], bhi[bp.bb_b])
+    code = (keep_bb.astype(jnp.int8) + core_bb.astype(jnp.int8))
+    if cfg.aligned_fast_path:
+        same = bp.memo_ok & jnp.all(code == bp.bb_code)
+        a_s, b_s, vv, cnt = jax.lax.cond(
+            same,
+            lambda _: (bp.tight_bb_a, bp.tight_bb_b, bp.tight_bb_valid,
+                       bp.tight_bb_count),
+            lambda _: two_tier_compact(keep_bb, core_bb, bp.bb_a, bp.bb_b,
+                                       cfg.max_box_box_pairs),
+            None)
+    else:
+        a_s, b_s, vv, cnt = two_tier_compact(
+            keep_bb, core_bb, bp.bb_a, bp.bb_b, cfg.max_box_box_pairs)
+    bb = CandidatePairs(a=a_s, b=b_s, valid=vv, count=cnt)
+    bp = bp.replace(bb_code=code, tight_bb_a=a_s, tight_bb_b=b_s,
+                    tight_bb_valid=vv, tight_bb_count=cnt,
+                    memo_ok=jnp.asarray(True))
     if cfg.max_spheres > 0:
         bs = mk(bp.bs_a, bp.bs_b, bp.bs_valid,
                 bx.body[bp.bs_a], sp.body[bp.bs_b],
@@ -191,7 +275,6 @@ def persistent_broadphase(state: SimState, wc: WorldColliders,
             valid=jnp.zeros((0,), bool), count=jnp.zeros((), jnp.int32),
         )
         bs = ss = empty
-    # carry the rebuild-time overflow through
-    bb = bb.replace(count=jnp.where(
-        bp.overflow, jnp.maximum(bb.count, bb.a.shape[0] + 1), bb.count))
+    # bb.count stays the TRUE tight demand (pair telemetry); collide() ORs
+    # bp.overflow into the step's overflow flag directly.
     return (bb, bs, ss), bp

@@ -91,9 +91,14 @@ def order_colors_by_height(color, man: Manifolds, cfg: SimConfig):
     Here: rank colors by mean contact height ascending each step; the
     relabel is a bijection on 0..max_colors-1, so conflict-freedom, spill
     relaxation, and n_colors are untouched. The parked sentinel
-    (== max_colors) stays fixed. Cost: one segment-mean + tiny argsort."""
+    (== max_colors) stays fixed. Cost: one segment-mean + tiny argsort.
+    "Height" is the projection onto -gravity (ADVICE r3: hardcoding +y
+    silently degraded to arbitrary order under tilted gravity)."""
     K = cfg.max_colors
-    y = jnp.sum(jnp.where(man.point_valid, man.pos[..., 1], 0.0), -1) \
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    up = -g / jnp.maximum(jnp.linalg.norm(g), 1e-9)
+    h = jnp.einsum("mpc,c->mp", man.pos, up)
+    y = jnp.sum(jnp.where(man.point_valid, h, 0.0), -1) \
         / jnp.maximum(jnp.sum(man.point_valid.astype(jnp.float32), -1), 1.0)
     ok = man.valid & (color >= 0) & (color < K)
     idx = jnp.where(ok, color, K)
@@ -212,66 +217,88 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
     dyn_a = dyn[man.body_a]
     dyn_b = dyn[man.body_b]
     m = man.ga.shape[0]
-    zc = jnp.zeros((ccache.ga.shape[0],), jnp.int32)
-    zm = jnp.zeros((m,), jnp.int32)
-
-    # colors < 2^24 are f32-exact; +1 so a join miss (0.0) is unambiguous
-    payload = jnp.stack([
-        ccache.color.astype(jnp.float32) + 1.0,
-        ccache.dynbits.astype(jnp.float32),
-        jnp.zeros_like(zc, dtype=jnp.float32),
-    ], axis=-1)
-    joined = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
-                   man.ga, man.gb, zm, man.valid)
-    hit = joined[:, 0]
-    # a hit is only trusted if the dyn-mask it was colored under still holds
-    # (a waking body invalidates colors assigned while it slept — see
-    # ColorCache.dynbits); mismatches fall through to the greedy rounds
     bits = dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32)
-    fresh = joined[:, 1].astype(jnp.int32) == bits
-    color = jnp.where(man.valid & (hit > 0.5) & fresh,
-                      hit.astype(jnp.int32) - 1, -1)
 
-    # forbidden-color table from the cached assignment
-    forbid = jnp.zeros((n_bodies, cfg.max_colors), bool)
-    okc = color >= 0
-    cc = jnp.clip(color, 0, cfg.max_colors - 1)
-    forbid = forbid.at[man.body_a, cc].max(okc & dyn_a)
-    forbid = forbid.at[man.body_b, cc].max(okc & dyn_b)
+    def slow(_):
+        zc = jnp.zeros((ccache.ga.shape[0],), jnp.int32)
+        zm = jnp.zeros((m,), jnp.int32)
+        # colors < 2^24 are f32-exact; +1 so a join miss (0.0) is unambiguous
+        payload = jnp.stack([
+            ccache.color.astype(jnp.float32) + 1.0,
+            ccache.dynbits.astype(jnp.float32),
+            jnp.zeros_like(zc, dtype=jnp.float32),
+        ], axis=-1)
+        joined = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
+                       man.ga, man.gb, zm, man.valid)
+        hit = joined[:, 0]
+        # a hit is only trusted if the dyn-mask it was colored under still
+        # holds (a waking body invalidates colors assigned while it slept —
+        # see ColorCache.dynbits); mismatches fall to the greedy rounds
+        fresh = joined[:, 1].astype(jnp.int32) == bits
+        color = jnp.where(man.valid & (hit > 0.5) & fresh,
+                          hit.astype(jnp.int32) - 1, -1)
 
-    idx = jnp.arange(m, dtype=jnp.int32)
+        # forbidden-color table from the cached assignment
+        forbid = jnp.zeros((n_bodies, cfg.max_colors), bool)
+        okc = color >= 0
+        cc = jnp.clip(color, 0, cfg.max_colors - 1)
+        forbid = forbid.at[man.body_a, cc].max(okc & dyn_a)
+        forbid = forbid.at[man.body_b, cc].max(okc & dyn_b)
 
-    def round_fn(state):
-        c, color, forbid = state
-        h = (c + 1) * jnp.uint32(0x9E3779B9).astype(jnp.int32)
-        h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B).astype(jnp.int32)
-        token = idx ^ (h & jnp.int32(0x3FFFFF))
-        uncolored = man.valid & (color < 0)
-        elig = (uncolored
-                & (~forbid[man.body_a, c] | ~dyn_a)
-                & (~forbid[man.body_b, c] | ~dyn_b))
-        token_a = jnp.where(elig & dyn_a, token, _INF_I32)
-        token_b = jnp.where(elig & dyn_b, token, _INF_I32)
-        claim = jnp.full((n_bodies,), _INF_I32, jnp.int32)
-        claim = claim.at[man.body_a].min(token_a)
-        claim = claim.at[man.body_b].min(token_b)
-        ok_a = ~dyn_a | (claim[man.body_a] == token)
-        ok_b = ~dyn_b | (claim[man.body_b] == token)
-        win = elig & ok_a & ok_b
-        color = jnp.where(win, c, color)
-        forbid = forbid.at[man.body_a, c].max(win & dyn_a)
-        forbid = forbid.at[man.body_b, c].max(win & dyn_b)
-        return c + 1, color, forbid
+        idx = jnp.arange(m, dtype=jnp.int32)
 
-    def has_uncolored(state):
-        c, color, _ = state
-        return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
+        def round_fn(state):
+            c, color, forbid = state
+            h = (c + 1) * jnp.uint32(0x9E3779B9).astype(jnp.int32)
+            h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B).astype(jnp.int32)
+            token = idx ^ (h & jnp.int32(0x3FFFFF))
+            uncolored = man.valid & (color < 0)
+            elig = (uncolored
+                    & (~forbid[man.body_a, c] | ~dyn_a)
+                    & (~forbid[man.body_b, c] | ~dyn_b))
+            token_a = jnp.where(elig & dyn_a, token, _INF_I32)
+            token_b = jnp.where(elig & dyn_b, token, _INF_I32)
+            claim = jnp.full((n_bodies,), _INF_I32, jnp.int32)
+            claim = claim.at[man.body_a].min(token_a)
+            claim = claim.at[man.body_b].min(token_b)
+            ok_a = ~dyn_a | (claim[man.body_a] == token)
+            ok_b = ~dyn_b | (claim[man.body_b] == token)
+            win = elig & ok_a & ok_b
+            color = jnp.where(win, c, color)
+            forbid = forbid.at[man.body_a, c].max(win & dyn_a)
+            forbid = forbid.at[man.body_b, c].max(win & dyn_b)
+            return c + 1, color, forbid
 
-    _, color, _ = jax.lax.while_loop(
-        has_uncolored, round_fn, (jnp.int32(0), color, forbid))
+        def has_uncolored(state):
+            c, color, _ = state
+            return (c < cfg.max_colors - 1) & jnp.any(man.valid & (color < 0))
 
-    color, relax, spilled = _spill_relax(
-        man, color, dyn_a, dyn_b, n_bodies, cfg)
+        _, color, _ = jax.lax.while_loop(
+            has_uncolored, round_fn, (jnp.int32(0), color, forbid))
+
+        return _spill_relax(man, color, dyn_a, dyn_b, n_bodies, cfg)
+
+    # Aligned fast path (SimConfig.aligned_fast_path): the color cache is
+    # stored in manifold-slot order; when every valid manifold's SAME-SLOT
+    # cache row carries its (ga, gb) and its dynbits still hold, the join
+    # result IS the cache row (pair keys are unique) and no greedy rounds
+    # are needed — drop ~62 ms of sort-join per settled 20,480-pile step.
+    if (cfg.aligned_fast_path and not cfg.differentiable
+            and ccache.ga.shape[0] == m):
+        aligned = jnp.all(
+            (ccache.valid == man.valid)
+            & (~man.valid | ((ccache.ga == man.ga) & (ccache.gb == man.gb)
+                             & (ccache.dynbits == bits))))
+
+        def fast(_):
+            color = jnp.where(man.valid, ccache.color, cfg.max_colors)
+            return (color, jnp.ones((m,), jnp.float32),
+                    jnp.zeros((m,), bool))
+
+        color, relax, spilled = jax.lax.cond(aligned, fast, slow, None)
+    else:
+        color, relax, spilled = slow(None)
+
     new_cache = ColorCache(
         ga=man.ga, gb=man.gb,
         # the cache keeps the STABLE labels (pre height-rank) so joins don't
@@ -280,7 +307,7 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
         # spilled manifolds carry under-relaxation, not a real slot — they
         # retry a proper color next frame rather than pinning the spill color
         valid=man.valid & ~spilled,
-        dynbits=dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32),
+        dynbits=bits,
     )
     color = order_colors_by_height(color, man, cfg)
     n_used = jnp.max(jnp.where(man.valid, color, -1)) + 1

@@ -641,12 +641,33 @@ def kernel_fits(cfg: SimConfig, n_bodies: int) -> bool:
                 + max(2 * acc_rows_eff * mpad,
                       (vr + body_tbl_rows) * npad) * 4)
     buffers = 2 * CON_ROWS * GROUP * 4   # double-buffered con group stream
-    # This chip (TPU v5 lite) holds 120MB of simultaneously-resident Pallas
-    # buffers without complaint (measured 2026-08-19, /tmp/vmem_probe.py:
-    # 60MB in + 60MB out copies run fine; the generic "~16MB/core" guide
-    # figure is wrong for v5e). Budget 96MB, leaving >24MB for Mosaic
-    # temporaries/spills. The old 12MB bound capped max_manifolds at ~2 per
-    # body at n=20480 — BELOW the ~3.2 manifolds/body a settled dense pile
-    # needs — so the capacity-tuned bench overflowed and dropped
-    # load-bearing contacts once the pile compacted.
-    return (resident + buffers) < 96 * 1024 * 1024
+    return (resident + buffers) < _vmem_budget_bytes()
+
+
+def _vmem_budget_bytes() -> int:
+    """Per-chip budget for simultaneously-resident Pallas buffers.
+
+    TPU v5 lite holds 120MB without complaint (measured 2026-08-19,
+    scripts/vmem_probe.py: 60MB in + 60MB out copies run fine; the generic
+    "~16MB/core" guide figure is wrong for v5e — its VMEM is backed by a
+    128MB scratch window). Budget 96MB there, leaving >24MB for Mosaic
+    temporaries/spills; a 12MB bound would cap max_manifolds at ~2 per body
+    at n=20480, BELOW the ~3.2/body a settled dense pile needs, so the
+    capacity-tuned bench would overflow and drop load-bearing contacts.
+
+    Chips the probe has NOT blessed get the conservative 12MB floor
+    (ADVICE r3: on a ~16MB-VMEM generation the 96MB budget would turn the
+    graceful XLA fallback into a Mosaic compile failure at runtime).
+    Override with NUDGE_VMEM_BUDGET_MB after probing a new chip."""
+    import os
+
+    env = os.environ.get("NUDGE_VMEM_BUDGET_MB")
+    if env:
+        return int(float(env) * 1024 * 1024)
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:                                  # noqa: BLE001
+        kind = ""
+    if "v5 lite" in kind or "v5e" in kind:
+        return 96 * 1024 * 1024
+    return 12 * 1024 * 1024

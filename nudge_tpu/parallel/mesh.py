@@ -32,6 +32,14 @@ from ..state import SimState
 SCENE_AXIS = "scenes"
 
 
+def _vmap_cfg(cfg: SimConfig) -> SimConfig:
+    """Config for vmap(step) paths: the aligned fast paths use lax.cond,
+    which vmap lowers to lax.select — BOTH branches execute per scene, so
+    the cond becomes pure overhead there. (megabatch_simulate keeps the
+    caller's cfg: its lax.map body is the unbatched step.)"""
+    return cfg.replace(aligned_fast_path=False)
+
+
 def make_scene_batch(states) -> SimState:
     """Stack a list of same-config SimStates into one batched state
     (leading scene axis on every leaf)."""
@@ -52,7 +60,7 @@ def batched_step(cfg: SimConfig, donate: bool = True):
     """A jitted `step` vmapped over the scene axis. With a sharded input the
     same function runs SPMD across the mesh — XLA partitions the batch; no
     collectives are generated because scenes are independent."""
-    fn = jax.vmap(partial(step, cfg=cfg))
+    fn = jax.vmap(partial(step, cfg=_vmap_cfg(cfg)))
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -76,7 +84,7 @@ def batched_step_chunked(cfg: SimConfig, n_chunks: int, donate: bool = True):
         folded = jax.tree.map(
             lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), state_b)
         out, metrics = jax.lax.map(
-            jax.vmap(partial(step, cfg=cfg)), folded)
+            jax.vmap(partial(step, cfg=_vmap_cfg(cfg))), folded)
         unfold = lambda x: x.reshape((n_scenes,) + x.shape[2:])
         return jax.tree.map(unfold, out), jax.tree.map(unfold, metrics)
 
@@ -88,7 +96,7 @@ def batched_simulate(cfg: SimConfig, steps: int, donate: bool = True):
 
     def run(state_b):
         def f(st, _):
-            return jax.vmap(partial(step, cfg=cfg))(st)
+            return jax.vmap(partial(step, cfg=_vmap_cfg(cfg)))(st)
 
         return jax.lax.scan(f, state_b, None, length=steps)
 
@@ -140,12 +148,12 @@ def batched_simulate_chunked(cfg: SimConfig, steps: int, n_chunks: int,
         folded = jax.tree.map(fold, state_b)
 
         def f(st, _):
-            new, _ = jax.lax.map(jax.vmap(partial(step, cfg=cfg)), st)
+            new, _ = jax.lax.map(jax.vmap(partial(step, cfg=_vmap_cfg(cfg))), st)
             return new, None
 
         folded, _ = jax.lax.scan(f, folded, None, length=steps - 1)
         new, metrics = jax.lax.map(
-            jax.vmap(partial(step, cfg=cfg)), folded)
+            jax.vmap(partial(step, cfg=_vmap_cfg(cfg))), folded)
         return jax.tree.map(unfold, new), jax.tree.map(unfold, metrics)
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())

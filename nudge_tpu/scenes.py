@@ -139,13 +139,58 @@ class SceneBuilder:
         )
         kw.update(overrides)
         if "max_lin_vel" not in kw:
-            # tunneling armor (SimConfig.max_lin_vel): 1.25x the free-fall
-            # speed from the scene's highest spawn — never touches
-            # legitimate motion; the 20 m/s floor keeps small scenes and
-            # user-thrown bodies unaffected
+            # tunneling armor (SimConfig.max_lin_vel): 1.25x the larger of
+            # the scene's free-fall ceiling and its fastest spawned body —
+            # never touches legitimate motion (projectiles included, ADVICE
+            # r3); the 20 m/s floor keeps small scenes unaffected. NOTE this
+            # auto-clamp is momentum-affecting for bodies driven above the
+            # bound mid-simulation; pass max_lin_vel=0.0 to disable.
             g = float(np.linalg.norm(kw.get("gravity", (0.0, -9.81, 0.0))))
             h = max((p[1] for p in self.pos), default=0.0) + 2.0
-            kw["max_lin_vel"] = max(20.0, 1.25 * float(np.sqrt(2 * g * h)))
+            v0 = max((float(np.linalg.norm(v)) for v in self.vel), default=0.0)
+            kw["max_lin_vel"] = max(20.0, 1.25 * float(np.sqrt(2 * g * h)),
+                                    1.25 * v0)
+
+        if "kill_plane_y" not in kw and self.inv_mass:
+            # Kill plane below the scene's static geometry: a dynamic body
+            # that ends up under every static collider has left the world
+            # (tunneled through / off the ground) — force-sleep it and
+            # remove it from the broadphase (broadphase.dead_mask) before
+            # it drags the grid anchor into the abyss (round-3/4 20,480
+            # failure mode: ~1,350 eternal fallers wrecked the LIVE pile's
+            # grid). Only derived when static colliders exist: the static
+            # floor defines "below the world"; pure-dynamic scenes
+            # (ballistics tests) keep the plane off.
+            def _rot_y_row(q):      # row y of the rotation matrix of quat q
+                x, y, z, w = (float(v) for v in q)
+                return np.array([2 * (x * y + z * w),
+                                 1 - 2 * (x * x + z * z),
+                                 2 * (y * z - x * w)])
+
+            static_bottoms = []
+            for i, (bi, half, lp, lq) in enumerate(zip(
+                    self.box_body, self.box_half, self.box_lpos,
+                    self.box_lquat)):
+                if self.inv_mass[bi] == 0.0:
+                    # vertical AABB extent at spawn orientation (statics
+                    # never move): e_y = |R_y·| · half
+                    qb = self.quat[bi]
+                    xb, yb, zb, wb = (float(v) for v in qb)
+                    xl, yl, zl, wl = (float(v) for v in lq)
+                    q = (wb * xl + xb * wl + yb * zl - zb * yl,
+                         wb * yl - xb * zl + yb * wl + zb * xl,
+                         wb * zl + xb * yl - yb * xl + zb * wl,
+                         wb * wl - xb * xl - yb * yl - zb * zl)
+                    ext = float(np.abs(_rot_y_row(q)) @ np.abs(half))
+                    static_bottoms.append(
+                        float(self.pos[bi][1] + lp[1]) - ext)
+            for bi, r, lp in zip(self.sph_body, self.sph_radius,
+                                 self.sph_lpos):
+                if self.inv_mass[bi] == 0.0:
+                    static_bottoms.append(
+                        float(self.pos[bi][1] + lp[1]) - float(r))
+            if static_bottoms:
+                kw["kill_plane_y"] = min(static_bottoms) - 4.0
         return SimConfig(**kw)
 
     # -- finalize ----------------------------------------------------------

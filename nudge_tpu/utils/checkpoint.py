@@ -31,14 +31,19 @@ def save(path: str, state) -> None:
     np.savez(path, **arrays)
 
 
-def restore(path: str, like):
+def restore(path: str, like, strict: bool = True):
     """Load a checkpoint saved with `save`. `like` is a template state (same
-    config) providing the pytree structure."""
+    config) providing the pytree structure. With strict=False, fields the
+    checkpoint predates (e.g. BPCache memo fields added later) fall back to
+    the template's value — resume is then exact-modulo-caches, not bitwise."""
     data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
     arrays, treedef = _flatten(like)
     leaves = []
     for key, ref in arrays.items():
         if key not in data:
+            if not strict:
+                leaves.append(ref)
+                continue
             raise KeyError(f"checkpoint missing field {key}")
         arr = data[key]
         if arr.shape != ref.shape:

@@ -78,16 +78,19 @@ def probe(st, cfg):
     return int(c), int(h), int(v), int(nc)
 
 
-def run(n, chunks, **over):
+def run(n, chunks, ckpt_dir=None, **over):
     b = scene_pile(n, seed=3)
-    kw = dict(max_box_box_pairs=5 * n, max_manifolds=3 * n,
-              grid_density=16)
+    kw = dict(max_box_box_pairs=8 * n, max_manifolds=3 * n,
+              grid_density=16, fat_pair_factor=2)
     kw.update(over)
     cfg = b.auto_config(**kw)
     st = b.finalize(cfg)
     g = 9.81
     for chunk in range(chunks):
         st, m = simulate(st, cfg, 100)
+        if ckpt_dir:
+            from nudge_tpu.utils import checkpoint as _ck
+            _ck.save(f"{ckpt_dir}/pile{n}_step{100 * (chunk + 1)}.npz", st)
         pos = np.asarray(st.bodies.pos)
         v = np.asarray(st.bodies.vel)
         inv_m = np.asarray(st.bodies.inv_mass)
@@ -106,7 +109,9 @@ def run(n, chunks, **over):
               f"spill={int(np.asarray(m.spill_count).max())} "
               f"ovf={int(np.asarray(m.overflow).sum())} "
               f"ovfbits={int(np.bitwise_or.reduce(np.asarray(m.overflow_bits)))} "
-              f"mdemand={int(np.asarray(m.manifold_demand).max())}",
+              f"mdemand={int(np.asarray(m.manifold_demand).max())} "
+              f"pdemand={int(np.asarray(m.pair_demand).max())} "
+              f"dead={int(((inv_m > 0) & ~np.asarray(st.sleep.awake) & (pos[:, 1] < cfg.kill_plane_y)).sum())}",
               flush=True)
 
 
@@ -114,11 +119,12 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     over = {}
+    ckpt_dir = os.environ.get("NUDGE_CKPT_DIR")
     for kv in sys.argv[3:]:
         k, v = kv.split("=")
         try:
             over[k] = float(v) if "." in v else int(v)
         except ValueError:
             over[k] = v          # string knobs, e.g. solver=xla
-    print(f"--- n={n} over={over}", flush=True)
-    run(n, chunks, **over)
+    print(f"--- n={n} over={over} ckpt_dir={ckpt_dir}", flush=True)
+    run(n, chunks, ckpt_dir=ckpt_dir, **over)

@@ -23,13 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The persistent compile cache was disabled on CPU 2026-08-18 after two
-# full-suite runs died inside the cache's get/put. Root cause was the
-# pre-AVX2-cap ISA mismatch (AOT executables serialized with AMX/AVX512
-# subsets this migrating VM can't reliably execute): with the cap above in
-# place, two clean cached fast-tier runs landed 2026-08-19 (71 passed cold
-# 13m19s, warm 6m41s vs 16m25s uncached), so the cache is ON by default.
-# NUDGE_CPU_CACHE=0 opts out if the segfaults ever return.
-if os.environ.get("NUDGE_CPU_CACHE", "1") != "0":
+# The persistent compile cache is OFF on CPU by default: even with the
+# AVX2 ISA cap above (which fixed the 2026-08-18 get-path segfaults and
+# gave two clean cached fast-tier runs), a 2026-08-19 fast-tier run STILL
+# segfaulted inside compilation_cache.put_executable_and_time at 64% — the
+# executable-serialization write path itself is unsafe on this migrating
+# VM. Cold runs cost ~16m vs ~7m cached; reliability wins. NUDGE_CPU_CACHE=1
+# opts back in for local iteration.
+if os.environ.get("NUDGE_CPU_CACHE", "0") == "1":
     from nudge_tpu.utils.platform import enable_compilation_cache
     enable_compilation_cache(allow_cpu=True)

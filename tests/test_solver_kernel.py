@@ -91,7 +91,11 @@ def test_kernel_full_rollout_behavior():
     assert float(jax.tree.map(np.asarray, m).kinetic_energy[-1]) < 1e-4
 
 
-def test_kernel_fits_estimate():
+def test_kernel_fits_estimate(monkeypatch):
+    # pin the probe-blessed v5e budget: on unprobed chips (and this CPU
+    # test backend) _vmem_budget_bytes falls back to a conservative 12MB
+    # (ADVICE r3), which would flip the capacity assertions below
+    monkeypatch.setenv("NUDGE_VMEM_BUDGET_MB", "96")
     b = scene_pile(64)
     cfg = b.auto_config()
     assert kernel_fits(cfg, cfg.max_bodies)
@@ -105,3 +109,8 @@ def test_kernel_fits_estimate():
     assert not kernel_fits(cfg.replace(max_manifolds=1_500_000), 20480)
     # body table is resident: millions of bodies do not fit
     assert not kernel_fits(cfg, 2_000_000)
+    # unprobed chip (this CPU backend): conservative 12MB floor — the
+    # config-4 capacities must NOT claim to fit, so auto dispatch takes the
+    # graceful XLA path instead of risking a Mosaic OOM (ADVICE r3)
+    monkeypatch.delenv("NUDGE_VMEM_BUDGET_MB")
+    assert not kernel_fits(cfg.replace(max_manifolds=61440), 20480)
