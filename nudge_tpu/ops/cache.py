@@ -81,6 +81,38 @@ def _join(c_ga, c_gb, c_feat, c_imp, c_valid, k_ga, k_gb, k_feat, k_valid):
     return jnp.where(k_valid[:, None], out, 0.0)
 
 
+def join_i32(c_key, c_payload, c_valid, k_key, k_valid):
+    """Single-i32-key join: for each valid current key, the i32 payload of
+    the valid cache row with the same key (0 on miss). Same mechanics as
+    `_join` but everything rides ONE packed sort key (key*2 + src) and one
+    i32 payload — 3 sorted arrays instead of 8, for joins whose identity and
+    payload both fit in 31/32 bits (the persistent-coloring join does: key =
+    ga*n_gids+gb, payload = color|dynbits). Keys must be < 2^30 and unique
+    among valid rows on each side; callers check the range statically."""
+    big = jnp.int32(2 ** 30 - 1)   # sentinel: big*2+1 == INT32_MAX, no wrap
+    ck = jnp.where(c_valid, c_key, big)
+    kk = jnp.where(k_valid, k_key, big)
+    n_cur = kk.shape[0]
+    key2 = jnp.concatenate([ck * 2, kk * 2 + 1])
+    payload = jnp.concatenate([c_payload, jnp.zeros_like(kk)])
+    orig = jnp.concatenate([
+        jnp.full(ck.shape, -1, jnp.int32),
+        jnp.arange(n_cur, dtype=jnp.int32),
+    ])
+    key2, payload, orig = jax.lax.sort((key2, payload, orig), num_keys=1)
+    # a current row (odd key) matches iff its predecessor is the cache row
+    # (even key) of the same identity; sentinel-keyed invalid rows can
+    # spuriously "match" each other but are masked out at the end
+    match = ((key2 & 1) == 1) & (key2 == jnp.roll(key2, 1) + 1)
+    match = match.at[0].set(False)
+    matched = jnp.where(match, jnp.roll(payload, 1), 0)
+    sel = (key2 & 1) == 1
+    tgt = jnp.where(sel, orig, n_cur)  # out-of-bounds rows drop
+    out = jnp.zeros((n_cur,), jnp.int32).at[tgt].add(
+        jnp.where(sel, matched, 0), mode="drop")
+    return jnp.where(k_valid, out, 0)
+
+
 def read_cached_impulses(cache: ContactCache, man: Manifolds, cfg=None):
     """Warm-start payload for every manifold point: (impulse f32[M,P,3],
     pseudo f32[M,P]).

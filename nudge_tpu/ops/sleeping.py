@@ -63,7 +63,14 @@ def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
         new = lbl.at[bb].min(jnp.where(dyn[bb], thru_a, _BIG))
         return new.at[ba].min(jnp.where(dyn[ba], thru_b, _BIG))
 
-    lbl = jax.lax.fori_loop(0, cfg.island_sweeps, sweep_asleep, lbl)
+    # With no candidate the flood's result is unused (falls_asleep is all
+    # False either way) — skip the island_sweeps scatter rounds entirely.
+    # On the settled 20,480 pile the two floods + parked-pair rebuild were
+    # ~45 ms/step of scatter traffic that almost never changed anything.
+    lbl = jax.lax.cond(
+        jnp.any(candidate),
+        lambda l: jax.lax.fori_loop(0, cfg.island_sweeps, sweep_asleep, l),
+        lambda l: l, lbl)
     falls_asleep = candidate & ~(lbl < 0)
     awake = awake & ~falls_asleep
 
@@ -93,7 +100,11 @@ def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
         w = w.at[jnp.maximum(pb, 0)].max(wa & parked_live)
         return w.at[jnp.maximum(pa, 0)].max(wb & parked_live)
 
-    wake_flag = jax.lax.fori_loop(0, cfg.island_sweeps, sweep_wake, wake_flag)
+    # No wake seed -> the flood is the identity; skip it (see asleep gate).
+    wake_flag = jax.lax.cond(
+        jnp.any(woken),
+        lambda w: jax.lax.fori_loop(0, cfg.island_sweeps, sweep_wake, w),
+        lambda w: w, wake_flag)
     wake_flag = wake_flag & dyn & ~awake
     awake = awake | wake_flag
     idle = jnp.where(wake_flag | falls_asleep, 0, idle)
@@ -106,23 +117,34 @@ def update_sleep(bodies: Bodies, man: Manifolds, sleep: SleepState,
         awake = awake & ~below
 
     # --- parked pairs: keep those still fully asleep, add this frame's
-    # contacts whose endpoints both just went (or stayed) asleep. ---
+    # contacts whose endpoints both just went (or stayed) asleep. The list
+    # can only change when a body fell asleep (new parked pairs; live
+    # manifolds never span two already-asleep bodies — those pairs are
+    # filtered pre-narrowphase) or woke (parked pairs released), so the
+    # nonzero-compaction over 2x capacity is skipped on quiet steps. ---
     asleep = dyn & ~awake
-    keep_old = parked_live & asleep[jnp.maximum(pa, 0)] & asleep[jnp.maximum(pb, 0)]
-    new_pair = live & asleep[ba] & asleep[bb]
-    cand_a = jnp.concatenate([jnp.where(keep_old, pa, -1),
-                              jnp.where(new_pair, ba, -1)])
-    cand_b = jnp.concatenate([jnp.where(keep_old, pb, -1),
-                              jnp.where(new_pair, bb, -1)])
-    cap = sleep.pairs.shape[0]
-    sel_mask = cand_a >= 0
-    count = jnp.sum(sel_mask.astype(jnp.int32))
-    (sel,) = jnp.nonzero(sel_mask, size=cap, fill_value=0)
-    valid = jnp.arange(cap) < jnp.minimum(count, cap)
-    pairs = jnp.stack([
-        jnp.where(valid, cand_a[sel], -1),
-        jnp.where(valid, cand_b[sel], -1),
-    ], axis=-1).astype(jnp.int32)
+
+    def rebuild_pairs(_):
+        keep_old = (parked_live & asleep[jnp.maximum(pa, 0)]
+                    & asleep[jnp.maximum(pb, 0)])
+        new_pair = live & asleep[ba] & asleep[bb]
+        cand_a = jnp.concatenate([jnp.where(keep_old, pa, -1),
+                                  jnp.where(new_pair, ba, -1)])
+        cand_b = jnp.concatenate([jnp.where(keep_old, pb, -1),
+                                  jnp.where(new_pair, bb, -1)])
+        cap = sleep.pairs.shape[0]
+        sel_mask = cand_a >= 0
+        count = jnp.sum(sel_mask.astype(jnp.int32))
+        (sel,) = jnp.nonzero(sel_mask, size=cap, fill_value=0)
+        valid = jnp.arange(cap) < jnp.minimum(count, cap)
+        return jnp.stack([
+            jnp.where(valid, cand_a[sel], -1),
+            jnp.where(valid, cand_b[sel], -1),
+        ], axis=-1).astype(jnp.int32)
+
+    pairs = jax.lax.cond(
+        jnp.any(falls_asleep) | jnp.any(wake_flag),
+        rebuild_pairs, lambda _: sleep.pairs, None)
 
     # zero momentum of bodies that just fell asleep (standard engine behavior;
     # prevents stale drift on wake)

@@ -210,7 +210,7 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
 
     Returns ((color, n_colors, relax, spill_count), new ColorCache)."""
     from ..state import ColorCache
-    from .cache import _join
+    from .cache import _join, join_i32
 
     n_bodies = bodies.pos.shape[0]
     dyn = bodies.inv_mass > 0.0
@@ -218,23 +218,43 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
     dyn_b = dyn[man.body_b]
     m = man.ga.shape[0]
     bits = dyn_a.astype(jnp.int32) + 2 * dyn_b.astype(jnp.int32)
+    # packed single-i32-key join (key = ga*n_gids+gb, payload =
+    # (color+1) | dynbits<<8) sorts 3 arrays instead of 8 — the join runs
+    # every step, so its sort is the persistent path's main cost; only
+    # scenes with >32k collider gids fall back to the generic 4-key join
+    n_gids = cfg.max_boxes + cfg.max_spheres
+    packed = n_gids * n_gids < 2 ** 30 - 1 and cfg.max_colors < 255
 
     def slow(_):
-        zc = jnp.zeros((ccache.ga.shape[0],), jnp.int32)
-        zm = jnp.zeros((m,), jnp.int32)
-        # colors < 2^24 are f32-exact; +1 so a join miss (0.0) is unambiguous
-        payload = jnp.stack([
-            ccache.color.astype(jnp.float32) + 1.0,
-            ccache.dynbits.astype(jnp.float32),
-            jnp.zeros_like(zc, dtype=jnp.float32),
-        ], axis=-1)
-        joined = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
-                       man.ga, man.gb, zm, man.valid)
-        hit = joined[:, 0]
-        # a hit is only trusted if the dyn-mask it was colored under still
-        # holds (a waking body invalidates colors assigned while it slept —
-        # see ColorCache.dynbits); mismatches fall to the greedy rounds
-        fresh = joined[:, 1].astype(jnp.int32) == bits
+        if packed:
+            hitp = join_i32(
+                ccache.ga * n_gids + ccache.gb,
+                (ccache.color + 1) | (ccache.dynbits << 8),
+                ccache.valid,
+                jnp.where(man.valid, man.ga * n_gids + man.gb, 0),
+                man.valid)
+            hit = (hitp & 255).astype(jnp.float32)
+            cached_bits = hitp >> 8
+        else:
+            zc = jnp.zeros((ccache.ga.shape[0],), jnp.int32)
+            zm = jnp.zeros((m,), jnp.int32)
+            # colors < 2^24 are f32-exact; +1 -> a join miss (0.0) is clear
+            payload = jnp.stack([
+                ccache.color.astype(jnp.float32) + 1.0,
+                ccache.dynbits.astype(jnp.float32),
+                jnp.zeros_like(zc, dtype=jnp.float32),
+            ], axis=-1)
+            joined = _join(ccache.ga, ccache.gb, zc, payload, ccache.valid,
+                           man.ga, man.gb, zm, man.valid)
+            hit = joined[:, 0]
+            cached_bits = joined[:, 1].astype(jnp.int32)
+        # a hit is only trusted if no side became MORE dynamic than when it
+        # was colored (a waking body adds conflict edges the cached coloring
+        # never saw — see ColorCache.dynbits). Falling asleep only REMOVES
+        # conflicts, so the monotone check keeps those colors: requiring
+        # exact equality invalidated every manifold touching each newly-
+        # sleeping body, re-running greedy claim rounds every settle step.
+        fresh = (bits & ~cached_bits) == 0
         color = jnp.where(man.valid & (hit > 0.5) & fresh,
                           hit.astype(jnp.int32) - 1, -1)
 
@@ -288,7 +308,7 @@ def color_manifolds_cached(man: Manifolds, bodies: Bodies, cfg: SimConfig,
         aligned = jnp.all(
             (ccache.valid == man.valid)
             & (~man.valid | ((ccache.ga == man.ga) & (ccache.gb == man.gb)
-                             & (ccache.dynbits == bits))))
+                             & ((bits & ~ccache.dynbits) == 0))))
 
         def fast(_):
             color = jnp.where(man.valid, ccache.color, cfg.max_colors)
