@@ -388,6 +388,11 @@ def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
     }
 
 
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
     """Config 5 as a stacked vmap batch (scene_pile_stacked): chunked
     vmap(step) with the XLA solver — batching amortizes dispatch overhead,
@@ -402,9 +407,12 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
         solver="xla", broadphase="grid",
         grid_table_dims=(16, 16, 16), grid_density=16,
     )
+    _phase(f"vbatch: building {n_scenes}x{bodies} stacked batch")
     batch, _ = scene_pile_stacked(n_scenes, bodies, cfg=cfg)
+    np.asarray(batch.bodies.pos[0, 0])   # sync the upload
     n_chunks = max(1, n_scenes // 256)
     sim = batched_simulate_chunked(cfg, steps, n_chunks)
+    _phase("vbatch: batch on device; compiling/running first sim call")
     dt = None
     m = None
     for i in range(3):
@@ -412,6 +420,7 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
+        _phase(f"vbatch: sim call {i} done in {dt:.1f}s")
         if i >= 1 and time_left() < 90 + dt * 1.5:
             break
     m = jax.tree.map(np.asarray, m)
@@ -439,8 +448,11 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
     proto = scene_pile_batch(spc, bodies)
     n = proto.num_bodies
     cfg = tuned_config(proto, n)
+    _phase(f"megachunk: building {n_chunks}x{spc}x{bodies} mega-scenes")
     batch, _ = scene_pile_megachunks(n_chunks, spc, bodies, cfg=cfg)
+    np.asarray(batch.bodies.pos[0, 0])   # sync the upload
     sim = megabatch_simulate(cfg, steps)
+    _phase("megachunk: batch on device; compiling/running first sim call")
     dt = None
     m = None
     for i in range(3):
@@ -448,6 +460,7 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
+        _phase(f"megachunk: sim call {i} done in {dt:.1f}s")
         if i >= 1 and time_left() < 90 + dt * 1.5:
             break
     m = jax.tree.map(np.asarray, m)

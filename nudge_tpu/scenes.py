@@ -441,36 +441,15 @@ def scene_pile_megachunks(n_chunks: int, scenes_per_chunk: int,
     instead would keep every op per-scene-small and exclude the kernels;
     see batched_step_chunked's docstring for that trade.)
 
-    Builds ONE template mega-scene and decorrelates chunks with per-chunk
-    jitter on the dynamic bodies (one upload per leaf, like
-    scene_pile_stacked). Returns (stacked SimState, cfg)."""
-    import jax
-
+    Builds ONE template mega-scene, uploads only it, and broadcasts +
+    decorrelates the chunk stack on device (see _stack_on_device — the
+    host-side stack was a multi-GB relay upload at this scale). Returns
+    (stacked SimState, cfg)."""
     b = scene_pile_batch(scenes_per_chunk, bodies_per_scene, seed=seed)
     if cfg is None:
         cfg = b.auto_config()
     st0 = b.finalize(cfg)
-    host = jax.tree.map(np.asarray, st0)
-
-    rng = np.random.default_rng(seed + 1)
-    n_dyn = b.num_bodies - 1          # body 0 is the static ground slab
-    pos = np.broadcast_to(host.bodies.pos,
-                          (n_chunks,) + host.bodies.pos.shape).copy()
-    pos[:, 1:1 + n_dyn, 0] += rng.uniform(-0.05, 0.05, (n_chunks, n_dyn))
-    pos[:, 1:1 + n_dyn, 2] += rng.uniform(-0.05, 0.05, (n_chunks, n_dyn))
-    quat = np.broadcast_to(host.bodies.quat,
-                           (n_chunks,) + host.bodies.quat.shape).copy()
-    dq = rng.uniform(-0.02, 0.02, (n_chunks, n_dyn, 3))
-    quat[:, 1:1 + n_dyn, 0:3] += dq
-    quat[:, 1:1 + n_dyn] /= np.linalg.norm(
-        quat[:, 1:1 + n_dyn], axis=-1, keepdims=True)
-
-    batch = jax.tree.map(
-        lambda x: jnp.asarray(
-            np.broadcast_to(x, (n_chunks,) + x.shape)), host)
-    batch = batch.replace(bodies=batch.bodies.replace(
-        pos=jnp.asarray(pos), quat=jnp.asarray(quat)))
-    return batch, cfg
+    return _stack_on_device(st0, n_chunks, b.num_bodies - 1, seed), cfg
 
 
 def scene_pile(n_bodies: int, sphere_frac: float = 0.0, half: float = 0.5,
@@ -547,24 +526,38 @@ def scene_pile_stacked(n_scenes: int, bodies_per_scene: int,
     if cfg is None:
         cfg = b.auto_config()
     st0 = b.finalize(cfg)
-    host = jax.tree.map(np.asarray, st0)
+    return _stack_on_device(st0, n_scenes, b.num_bodies - 1, seed), cfg
 
-    rng = np.random.default_rng(seed + 1)
-    n_dyn = b.num_bodies - 1          # body 0 is the static ground
-    pos = np.broadcast_to(host.bodies.pos,
-                          (n_scenes,) + host.bodies.pos.shape).copy()
-    pos[:, 1:1 + n_dyn, 0] += rng.uniform(-0.05, 0.05, (n_scenes, n_dyn))
-    pos[:, 1:1 + n_dyn, 2] += rng.uniform(-0.05, 0.05, (n_scenes, n_dyn))
-    quat = np.broadcast_to(host.bodies.quat,
-                           (n_scenes,) + host.bodies.quat.shape).copy()
-    dq = rng.uniform(-0.02, 0.02, (n_scenes, n_dyn, 3))
-    quat[:, 1:1 + n_dyn, 0:3] += dq
-    quat[:, 1:1 + n_dyn] /= np.linalg.norm(
-        quat[:, 1:1 + n_dyn], axis=-1, keepdims=True)
 
-    batch = jax.tree.map(
-        lambda x: jnp.asarray(
-            np.broadcast_to(x, (n_scenes,) + x.shape)), host)
-    batch = batch.replace(bodies=batch.bodies.replace(
-        pos=jnp.asarray(pos), quat=jnp.asarray(quat)))
-    return batch, cfg
+def _stack_on_device(st0, n: int, n_dyn: int, seed: int):
+    """Broadcast the template SimState to a leading axis of `n` ON DEVICE
+    and decorrelate the copies with per-copy jitter on the dynamic bodies
+    (body 0 is the static ground).
+
+    The host must upload only the template: the previous host-side
+    `np.broadcast_to(...).copy()` materialized every copy on the host and
+    shipped the whole stack through the TPU relay — measured 1.51 GB for
+    4096x512 scenes (0.68 GB of it zeroed contact-cache padding), a
+    >20-minute transfer through the tunnel that blew the bench budget
+    before the first compile even started (round-4 config-5 attempt,
+    2026-08-20). Broadcasting under jit materializes the stack directly in
+    HBM instead, and the jitter comes from the on-device RNG."""
+    import jax
+
+    @jax.jit
+    def build(st):
+        bat = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), st)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+        dx = jax.random.uniform(k1, (n, n_dyn), minval=-0.05, maxval=0.05)
+        dz = jax.random.uniform(k2, (n, n_dyn), minval=-0.05, maxval=0.05)
+        dq = jax.random.uniform(k3, (n, n_dyn, 3), minval=-0.02, maxval=0.02)
+        pos = bat.bodies.pos
+        pos = pos.at[:, 1:1 + n_dyn, 0].add(dx)
+        pos = pos.at[:, 1:1 + n_dyn, 2].add(dz)
+        quat = bat.bodies.quat.at[:, 1:1 + n_dyn, 0:3].add(dq)
+        qn = quat[:, 1:1 + n_dyn]
+        quat = quat.at[:, 1:1 + n_dyn].set(
+            qn / jnp.linalg.norm(qn, axis=-1, keepdims=True))
+        return bat.replace(bodies=bat.bodies.replace(pos=pos, quat=quat))
+
+    return build(st0)
