@@ -1,13 +1,17 @@
 #!/bin/bash
-# Round-3 TPU measurement battery. Run when the axon relay is healthy:
+# Round-4 TPU measurement battery. Run when the axon relay is healthy:
 #   bash scripts/tpu_measure.sh [outdir]
 # Produces one log per item; each is independently restartable. The
 # persistent compile cache (utils/platform.py) makes reruns cheap.
+# Ordering: the driver-contract bench first (it also warms the cache for
+# everything at 20,480), then config 5 (both paths), then the profile /
+# roofline diagnostics, then the fidelity trajectory + settled checkpoint
+# for the fast-path A/B.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"  # round-2 battery died on
 # ModuleNotFoundError: scripts/*.py didn't see the repo root (VERDICT r2 §1c)
-OUT=${1:-/tmp/tpu_r3}
+OUT=${1:-/tmp/tpu_r4}
 mkdir -p "$OUT"
 
 run() { # name, cmd...
@@ -20,28 +24,35 @@ run() { # name, cmd...
 # 0. relay sanity
 run devices python -c "import jax; print(jax.devices())"
 
-# 2. headline bench: settled 20,480 pile, reference mode (sleeping+pbp)
-run bench_c4 python bench.py --bodies 20480 --steps 100
+# 1. headline bench, exactly as the driver runs it (budget + watchdog)
+run bench_c4 python bench.py
 
-# 1. per-stage profile at config-4 scale (settled)
-run profile_20480 python scripts/profile_step.py 20480 10
-
-# 1b. roofline / MFU accounting at config-4 scale
-run roofline_20480 python scripts/roofline.py 20480 10
+# 2. config 5 full scale: 4096 scenes x 512 bodies
+#    2a. kernel path: flattened 64x512 mega-scenes, lax.map over 64 chunks
+run bench_c5_mega env NUDGE_BENCH_BUDGET_S=2100 \
+  python bench.py --megachunk --scenes 4096 --scene-bodies 512
+#    2b. vmap path (XLA solver), 16 chunks of vmap(256)
+run bench_c5_vbatch env NUDGE_BENCH_BUDGET_S=2100 \
+  python bench.py --vbatch --scenes 4096 --scene-bodies 512
 
 # 3. config 3: 2,048-body MIXED boxes+spheres pile (all narrowphase types)
 run bench_c3_mixed python bench.py --bodies 2048 --steps 100 --sphere-frac 0.25
-# 3b. pure-box 2048 (round-1 comparison point, has a CPU anchor)
-run bench_2048 python bench.py --bodies 2048 --steps 100
 
-# 4. config 5 full scale: 4096 scenes x 512 bodies, chunked vmap (XLA path)
-run bench_c5 python bench.py --vbatch --scenes 4096 --scene-bodies 512
+# 4. roofline / MFU accounting at config-4 scale (VERDICT r2 item 5)
+run roofline_20480 python scripts/roofline.py 20480 10
 
-# 4b. config 5 on the kernel path: flattened mega-scene chunks
-run bench_c5_mega python bench.py --megachunk --scenes 4096 --scene-bodies 512
+# 5. per-stage profile at config-4 scale (fresh settle, non-persistent path)
+run profile_20480 python scripts/profile_step.py 20480 10
 
-# 5. fidelity: 20,480 settled trajectory with sleeping (awake trend, KE,
-#    overflow) — TPU-side validation of the round-2 physics (VERDICT r2 §4)
-run lc_20480 python scripts/debug_limit_cycle.py 20480 15 sleeping=1 persistent_broadphase=1
+# 6. fidelity trajectory: 20,480 with sleeping+pbp, 3000 steps, checkpoints
+#    every 100 steps (feeds items 7-8)
+run lc_20480 env NUDGE_CKPT_DIR="$OUT/ckpt" \
+  python scripts/debug_limit_cycle.py 20480 30 steps=100 sleeping=1 persistent_broadphase=1
+
+# 7. settled-state fast-path A/B from the step-3000 checkpoint
+run settled_ab python scripts/measure_settled_ckpt.py "$OUT/ckpt/pile20480_step3000.npz" 20480
+
+# 8. reference-mode per-stage profile from the same checkpoint
+run profile_ref python scripts/profile_ref_step.py "$OUT/ckpt/pile20480_step3000.npz" 20480
 
 echo "=== done; logs in $OUT ==="
