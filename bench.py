@@ -9,26 +9,41 @@ solver; the upstream published no numbers and its source was not mountable —
 SURVEY.md §0/§6 — so native/nudge_ref.cpp re-implements the same pipeline
 as the CPU anchor).
 
-Driver contract (round-3 lesson, VERDICT r3 item 1): BENCH_r03.json was
-rc:124 — the bench was SIGKILLed mid-settle and emitted NOTHING. This file
-now guarantees one JSON line under a hard wall-clock budget:
+Driver contract, round-5 architecture (VERDICT r4 items 1-2): rounds 2-4
+each lost their headline to a different failure of the same shape — the
+FIRST big TPU call wedged or crashed and nothing measurable existed when
+the watchdog fired (r2: worker kernel fault, rc:1 no line; r3: rc:124
+SIGKILL mid-settle; r4: relay wedge inside the first compile+window minutes
+after two worker crashes, watchdog emitted `value: null`). A Python thread
+cannot interrupt a main thread blocked inside a C call, so in-process
+budget checks can't help once the relay wedges. The fix is structural:
 
-  * `NUDGE_BENCH_BUDGET_S` (default 1500 s) is the total budget. Every
-    phase checks the deadline; on expiry the bench stops measuring, labels
-    the output `"truncated": "<phase>"`, and emits whatever it has.
-  * A daemon watchdog thread emits the partial result and hard-exits at
-    budget+grace even if the main thread is wedged inside a relay sync
-    (block_until_ready through the axon relay has hung before).
-  * SIGTERM/SIGALRM handlers emit before dying, so a driver `timeout`
-    shorter than our budget still gets the line (timeout sends TERM first).
-  * The two native-baseline subprocesses run CONCURRENTLY with the TPU
-    measurement instead of serially after it.
+  * The PARENT process never touches the TPU. Every heavy phase runs in a
+    CHILD subprocess with a hard timeout; a wedged child is SIGTERM/SIGKILLed
+    and the bench moves on.
+  * Children stream every partial result into a status file (atomic
+    rename on every mutation), so even a SIGKILLed child leaves its last
+    measurement readable.
+  * Phase A measures something SMALL first (2,048-pile, ~1-2 min warm) and
+    installs it as an honestly-labeled provisional headline. Phase B (the
+    real 20,480 settle) then OVERWRITES it on success. A wedge, crash, or
+    budget expiry at any point degrades to the best number measured so far
+    — never to null.
+  * `NUDGE_BENCH_BUDGET_S` (default 1500 s) is the total budget; the parent
+    sizes child timeouts from what's left. A daemon watchdog + SIGTERM/
+    SIGALRM handlers still guarantee the single JSON line.
+  * The native-baseline subprocesses run CONCURRENTLY with the TPU phases.
+    The settled baseline uses the C++ engine's adaptive settle (settle=-1:
+    run until its awake count plateaus), so the settled comparison is
+    steady-state vs steady-state (VERDICT r4 weak #6) instead of joining
+    the native run mid-sleep-onset; both sides report awake + settle_steps.
 
 Fidelity gates ride along in `detail`: kinetic-energy trend across the
-measurement window (split impulse keeps it decaying), max penetration
-depth, sleeping body count, overflow flags.
+measurement window, max penetration depth, awake count, overflow flags.
 
-Usage: python bench.py [--bodies N] [--steps N] [--all] [--batch] [--vbatch]
+Usage: python bench.py [--bodies N] [--steps N] [--sphere-frac F]
+                       [--vbatch|--megachunk|--batch] [--scenes N] ...
+Internal: python bench.py --child KIND --status FILE --spec JSON
 """
 
 from __future__ import annotations
@@ -39,6 +54,7 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 
@@ -78,9 +94,13 @@ def emit() -> None:
         if _OUT.get("value") is None:
             # watchdog/signal emission mid-run: surface whatever partial
             # measurement exists so the driver records a real number
-            t = (_OUT.get("detail") or {}).get("tpu") or {}
-            _OUT["value"] = (t.get("steps_per_sec")
-                             or t.get("impact_steps_per_sec"))
+            d = _OUT.get("detail") or {}
+            for tag in ("tpu", "provisional"):
+                t = d.get(tag) or {}
+                v = t.get("steps_per_sec") or t.get("impact_steps_per_sec")
+                if v:
+                    _OUT["value"] = v
+                    break
         try:
             print(json.dumps(_OUT), flush=True)
         except Exception:                        # noqa: BLE001
@@ -92,7 +112,8 @@ def emit() -> None:
 def _watchdog() -> None:
     """Emit + hard-exit at budget + grace even if main is wedged in a
     relay sync (Python signal handlers can't run while the main thread is
-    blocked inside a C call; a plain thread can)."""
+    blocked inside a C call; a plain thread can). With the subprocess
+    phase isolation the parent should never wedge — this is the backstop."""
     grace = 45.0
     while True:
         t = time_left() + grace
@@ -122,10 +143,7 @@ def probe_backend(timeout_s: float = 240.0) -> str:
     labeled CPU number. Probe device discovery in a subprocess with a
     timeout; on failure force the host CPU backend and say so in the
     output. NUDGE_CPU=1 skips the probe and benches the CPU directly."""
-    from nudge_tpu.utils.platform import force_cpu
-
     if os.environ.get("NUDGE_CPU"):
-        force_cpu()
         return "cpu(NUDGE_CPU=1)"
     try:
         out = subprocess.run(
@@ -135,7 +153,6 @@ def probe_backend(timeout_s: float = 240.0) -> str:
             timeout=min(timeout_s, max(30.0, time_left() * 0.25)), text=True)
         return out.stdout.strip() or "ambient"
     except Exception:
-        force_cpu()
         return "cpu-fallback(backend unreachable)"
 
 
@@ -192,7 +209,8 @@ def start_cpu_baseline(n_bodies: int, steps: int = 100, settle: int = 600,
     """Launch the C++ reference engine as a background subprocess (it runs
     concurrently with the TPU measurement — round-3's serial placement put
     ~2x 200-400 s of native time AFTER the TPU work and blew the driver
-    window). Returns a Popen or None."""
+    window). settle=-1 = adaptive: settle until the awake count plateaus
+    (the engine's sleep cliff), then measure. Returns a Popen or None."""
     exe = _native_exe()
     if exe is None:
         return None
@@ -223,22 +241,72 @@ def collect_cpu_baseline(proc, deadline_s: float):
         return None
 
 
+# -------------------------------------------------- child status protocol ---
+
+class StatusDict(dict):
+    """Dict that atomically rewrites a JSON status file on every mutation,
+    so the parent (and a post-mortem) can read a child's latest partial
+    measurements even if the child is SIGKILLed mid-phase."""
+
+    def __init__(self, path: str | None):
+        super().__init__()
+        self._path = path
+
+    def _flush(self):
+        if not self._path:
+            return
+        try:
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self, f)
+            os.replace(tmp, self._path)
+        except Exception:                        # noqa: BLE001
+            pass
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._flush()
+
+    def update(self, *a, **kw):
+        super().update(*a, **kw)
+        self._flush()
+
+    def pop(self, *a):
+        v = super().pop(*a)
+        self._flush()
+        return v
+
+    def clear(self):
+        super().clear()
+        self._flush()
+
+
+def _read_status(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:                            # noqa: BLE001
+        return {}
+
+
 # ------------------------------------------------------------ TPU phases ---
+# These run inside CHILD processes (via --child); they are plain functions
+# over a caller-owned result dict so the status file sees every partial.
 
 def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                reference_mode: bool = True, long_window: int = 1000,
-               sphere_frac: float = 0.0, reserve_s: float = 90.0,
-               solver: str | None = None):
+               sphere_frac: float = 0.0, reserve_s: float = 25.0,
+               solver: str | None = None, max_settle_chunks: int = 25):
     """Settled-pile throughput. `reference_mode` runs the engine the way the
     reference does (sleeping + amortized broadphase, SURVEY C13/C5); the
     falling/impact phase (first `steps` window, everything awake) is
     reported separately. `sphere_frac` > 0 mixes spheres in (BASELINE
     config 3 is a 2,048-body mixed boxes+spheres pile).
 
-    Results accumulate into the caller-owned dict `r` so the watchdog and
-    signal paths always see the latest partial numbers. Every phase checks
-    the wall-clock budget (keeping `reserve_s` for finalization) and marks
-    `r["truncated"]` instead of blowing the driver window."""
+    Results accumulate into the caller-owned dict `r` so partial numbers
+    are always visible (StatusDict streams them to the parent). Every phase
+    checks the wall-clock budget (keeping `reserve_s` for finalization) and
+    marks `r["truncated"]` instead of dying mid-measurement."""
     from nudge_tpu.engine import simulate
     from nudge_tpu.scenes import scene_pile
 
@@ -252,7 +320,7 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
         over["solver"] = solver
     cfg = tuned_config(b, n_bodies, **over)
     st = b.finalize(cfg)
-    r.update({"sleeping_mode": reference_mode, "error": None})
+    r.update({"n": n_bodies, "sleeping_mode": reference_mode, "error": None})
 
     # impact phase: first window from the initial drop, everything moving
     t0 = time.perf_counter()
@@ -271,8 +339,8 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
     # steps at 2048+ bodies and avalanche pockets keep re-waking stragglers
     # (docs/PERF_NOTES.md "friction-convergence creep") — a fixed short
     # settle measures a transient. Keep settling until the awake count has
-    # stopped falling for two consecutive chunks (cap 25 chunks) or the
-    # budget says stop.
+    # stopped falling for two consecutive chunks (cap max_settle_chunks) or
+    # the budget says stop.
     settle_steps = 2 * steps   # compile + impact windows above
     try:
         if reference_mode:
@@ -283,7 +351,7 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
             # reads as steady.
             s = max(steps, 120)
             prev, flat = None, 0
-            for _ in range(25):
+            for _ in range(max_settle_chunks):
                 if out_of_time(chunk_cost * (s / steps) * 1.5):
                     r["truncated"] = "settle"
                     break
@@ -292,18 +360,13 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                 aw = int(np.asarray(m.awake_count)[-1])
                 chunk_cost = (time.perf_counter() - t0) * steps / s
                 settle_steps += s
-                r["settle_steps"] = settle_steps
-                r["awake"] = aw
+                r.update({"settle_steps": settle_steps, "awake": aw})
                 onset = aw < 0.9 * n_bodies
                 flat = flat + 1 if (onset and prev is not None
                                     and aw >= prev) else 0
                 prev = aw
                 if aw == 0 or flat >= 2:
                     break
-
-        # settled native baseline can start now that settle_steps is known;
-        # it runs concurrently with the measurement + long window below
-        r["_settle_steps_final"] = settle_steps
 
         dt = None
         done = 0
@@ -348,10 +411,12 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                 lw_done += 1
             if lw_done:
                 np.asarray(st.bodies.pos)
-                r["steps_per_sec_long_window"] = round(
-                    lw_done * steps / (time.perf_counter() - t0), 2)
-                r["long_window_steps"] = lw_done * steps
-                r["long_window_mode"] = f"{lw_done}x{steps}-step chunks"
+                r.update({
+                    "steps_per_sec_long_window": round(
+                        lw_done * steps / (time.perf_counter() - t0), 2),
+                    "long_window_steps": lw_done * steps,
+                    "long_window_mode": f"{lw_done}x{steps}-step chunks",
+                })
         r["overflow"] = bool(m.overflow.any())
         r["spill"] = int(m.spill_count.max())
     except Exception as e:                       # noqa: BLE001
@@ -363,7 +428,7 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
     return r
 
 
-def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
+def bench_flat_batch(n_scenes: int, bodies: int, r: dict, steps: int = 20):
     """Config 5 as a flattened mega-scene (see scenes.scene_pile_batch)."""
     from nudge_tpu.engine import simulate
     from nudge_tpu.scenes import scene_pile_batch
@@ -372,20 +437,21 @@ def bench_flat_batch(n_scenes: int, bodies: int, steps: int = 20):
     n = b.num_bodies
     cfg = tuned_config(b, n)
     st = b.finalize(cfg)
+    r.update({"scenes": n_scenes, "bodies_per_scene": bodies})
     dt = None
     for i in range(4):
         t0 = time.perf_counter()
         st, m = simulate(st, cfg, steps)
         np.asarray(st.bodies.pos)
         dt = time.perf_counter() - t0
-        if i >= 1 and time_left() < 90 + dt * 1.5:
+        r[f"call{i}_s"] = round(dt, 1)
+        if i >= 1 and time_left() < 60 + dt * 1.5:
             break
-    return {
-        "scenes": n_scenes,
-        "bodies_per_scene": bodies,
+    r.update({
         "steps_per_sec": round(steps / dt, 2),
         "body_steps_per_sec": round(steps / dt * n_scenes * bodies),
-    }
+    })
+    return r
 
 
 def _phase(msg: str) -> None:
@@ -393,7 +459,7 @@ def _phase(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
+def bench_scene_batch(n_scenes: int, bodies: int, r: dict, steps: int = 25):
     """Config 5 as a stacked vmap batch (scene_pile_stacked): chunked
     vmap(step) with the XLA solver — batching amortizes dispatch overhead,
     chunking bounds broadphase transients."""
@@ -411,6 +477,8 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
     batch, _ = scene_pile_stacked(n_scenes, bodies, cfg=cfg)
     np.asarray(batch.bodies.pos[0, 0])   # sync the upload
     n_chunks = max(1, n_scenes // 256)
+    r.update({"scenes": n_scenes, "bodies_per_scene": bodies,
+              "chunks": n_chunks, "upload_done": True})
     sim = batched_simulate_chunked(cfg, steps, n_chunks)
     _phase("vbatch: batch on device; compiling/running first sim call")
     dt = None
@@ -421,25 +489,26 @@ def bench_scene_batch(n_scenes: int, bodies: int, steps: int = 25):
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
         _phase(f"vbatch: sim call {i} done in {dt:.1f}s")
-        if i >= 1 and time_left() < 90 + dt * 1.5:
+        r[f"call{i}_s"] = round(dt, 1)
+        if i >= 1 and time_left() < 60 + dt * 1.5:
             break
     m = jax.tree.map(np.asarray, m)
-    return {
-        "scenes": n_scenes,
-        "bodies_per_scene": bodies,
-        "chunks": n_chunks,
+    r.update({
         "steps_per_sec": round(steps / dt, 3),
         "body_steps_per_sec": round(steps / dt * n_scenes * bodies),
         "contacts_mean": float(m.contact_count.mean()),
         "overflow": bool(m.overflow.any()),
-    }
+    })
+    return r
 
 
-def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
-                     scenes_per_chunk: int = 64):
+def bench_megachunks(n_scenes: int, bodies: int, r: dict, steps: int = 25,
+                     scenes_per_chunk: int = 64, solver: str | None = None):
     """Config 5 on the KERNEL path: flattened mega-scene chunks stepped with
     lax.map — the unbatched step per chunk keeps the Pallas setup/solve
-    kernels in play (scenes.scene_pile_megachunks)."""
+    kernels in play (scenes.scene_pile_megachunks). solver="xla" forces the
+    XLA solver inside the same chunked structure (the kernel-fault fallback,
+    VERDICT r4 item 1)."""
     from nudge_tpu.parallel.mesh import megabatch_simulate
     from nudge_tpu.scenes import scene_pile_batch, scene_pile_megachunks
 
@@ -447,10 +516,15 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
     n_chunks = max(1, n_scenes // spc)
     proto = scene_pile_batch(spc, bodies)
     n = proto.num_bodies
-    cfg = tuned_config(proto, n)
-    _phase(f"megachunk: building {n_chunks}x{spc}x{bodies} mega-scenes")
+    over = {"solver": solver} if solver else {}
+    cfg = tuned_config(proto, n, **over)
+    _phase(f"megachunk: building {n_chunks}x{spc}x{bodies} mega-scenes"
+           f" (solver={solver or 'auto'})")
     batch, _ = scene_pile_megachunks(n_chunks, spc, bodies, cfg=cfg)
     np.asarray(batch.bodies.pos[0, 0])   # sync the upload
+    r.update({"scenes": n_chunks * spc, "bodies_per_scene": bodies,
+              "chunks": n_chunks, "scenes_per_chunk": spc,
+              "solver": solver or "auto", "upload_done": True})
     sim = megabatch_simulate(cfg, steps)
     _phase("megachunk: batch on device; compiling/running first sim call")
     dt = None
@@ -461,20 +535,123 @@ def bench_megachunks(n_scenes: int, bodies: int, steps: int = 25,
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
         _phase(f"megachunk: sim call {i} done in {dt:.1f}s")
-        if i >= 1 and time_left() < 90 + dt * 1.5:
+        r[f"call{i}_s"] = round(dt, 1)
+        if i >= 1 and time_left() < 60 + dt * 1.5:
             break
     m = jax.tree.map(np.asarray, m)
     total_bodies = n_chunks * spc * bodies
-    return {
-        "scenes": n_chunks * spc,
-        "bodies_per_scene": bodies,
-        "chunks": n_chunks,
-        "scenes_per_chunk": spc,
+    r.update({
         "steps_per_sec": round(steps / dt, 3),
         "body_steps_per_sec": round(steps / dt * total_bodies),
         "contacts_mean": float(m.contact_count.mean()),
         "overflow": bool(m.overflow.any()),
-    }
+    })
+    return r
+
+
+# ------------------------------------------------------------- child mode ---
+
+def _child_main(kind: str, status_path: str, spec: dict) -> None:
+    """Entry point of a phase subprocess: run one bench function with a
+    StatusDict so the parent sees every partial result."""
+    if os.environ.get("NUDGE_CPU"):
+        from nudge_tpu.utils.platform import force_cpu
+        force_cpu()
+    r = StatusDict(status_path)
+    try:
+        if kind == "pile":
+            bench_pile(spec["bodies"], spec.get("steps", 100), r,
+                       chunks=spec.get("chunks", 5),
+                       reference_mode=spec.get("reference_mode", True),
+                       long_window=spec.get("long_window", 1000),
+                       sphere_frac=spec.get("sphere_frac", 0.0),
+                       solver=spec.get("solver"),
+                       max_settle_chunks=spec.get("max_settle_chunks", 25))
+        elif kind == "megachunk":
+            bench_megachunks(spec["scenes"], spec["scene_bodies"], r,
+                             steps=spec.get("steps", 25),
+                             scenes_per_chunk=spec.get("scenes_per_chunk", 64),
+                             solver=spec.get("solver"))
+        elif kind == "vbatch":
+            bench_scene_batch(spec["scenes"], spec["scene_bodies"], r,
+                              steps=spec.get("steps", 25))
+        elif kind == "flatbatch":
+            bench_flat_batch(spec["scenes"], spec["scene_bodies"], r,
+                             steps=spec.get("steps", 20))
+        else:
+            r["error"] = f"unknown child kind {kind!r}"
+            sys.exit(2)
+    except Exception as e:                       # noqa: BLE001
+        r.setdefault("error", f"{type(e).__name__}: {e}"[:500])
+        sys.exit(3)
+    sys.exit(0)
+
+
+# ------------------------------------------------------ parent orchestration
+
+_FORCED_CPU = False
+
+
+def _spawn_child(kind: str, spec: dict, timeout_s: float, tag: str):
+    """Launch a phase subprocess. Returns (Popen, status_path)."""
+    status_path = os.path.join(
+        tempfile.gettempdir(), f"nudge_bench_{tag}_{os.getpid()}.json")
+    try:
+        os.remove(status_path)
+    except OSError:
+        pass
+    env = dict(os.environ)
+    env["NUDGE_BENCH_BUDGET_S"] = str(max(30.0, timeout_s - 15.0))
+    if _FORCED_CPU:
+        env["NUDGE_CPU"] = "1"
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", kind,
+         "--status", status_path, "--spec", json.dumps(spec)],
+        stdout=subprocess.DEVNULL, env=env)
+    return p, status_path
+
+
+def _join_child(p, status_path: str, timeout_s: float,
+                on_poll=None, reserve_s: float = 45.0):
+    """Wait for a phase subprocess up to `timeout_s` (and never past the
+    global budget minus `reserve_s`). A child that outlives its deadline is
+    SIGTERMed (its handlers flush + exit) then SIGKILLed. Returns
+    (status dict, returncode, timed_out)."""
+    deadline = time.monotonic() + timeout_s
+    timed_out = False
+    while p.poll() is None:
+        if time.monotonic() >= deadline or time_left() < reserve_s:
+            timed_out = True
+            p.terminate()
+            try:
+                p.wait(15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                try:
+                    p.wait(10)
+                except subprocess.TimeoutExpired:
+                    pass
+            break
+        if on_poll is not None:
+            try:
+                on_poll(_read_status(status_path))
+            except Exception:                    # noqa: BLE001
+                pass
+        time.sleep(2.0)
+    return _read_status(status_path), p.returncode, timed_out
+
+
+def _run_phase(kind: str, spec: dict, timeout_s: float, tag: str,
+               on_poll=None):
+    _phase(f"phase {tag}: spawning {kind} {spec} (timeout {timeout_s:.0f}s)")
+    p, sp = _spawn_child(kind, spec, timeout_s, tag)
+    st, rc, timed_out = _join_child(p, sp, timeout_s, on_poll=on_poll)
+    if timed_out and not st.get("error"):
+        st["error"] = (f"phase timeout after {timeout_s:.0f}s "
+                       "(wedged or too slow; child killed)")
+    _phase(f"phase {tag}: rc={rc} timed_out={timed_out} "
+           f"steps_per_sec={st.get('steps_per_sec')}")
+    return st, rc, timed_out
 
 
 def main():
@@ -487,8 +664,168 @@ def main():
     emit()
 
 
+def _headline_pile(args, platform: str):
+    """The staged config-4 headline: provisional small pile first, then the
+    north-star 20,480 settle; native baselines concurrent throughout."""
+    bodies = args.bodies
+    kind = ("-body mixed box+sphere pile"
+            if args.sphere_frac > 0 else "-box pile")
+    detail: dict = {"tpu": {}, "provisional": None, "cpu_baseline": None,
+                    "cpu_baseline_impact": None, "vs_baseline_impact": None}
+    _OUT.update({
+        "metric": (f"steps/sec on settled {bodies}{kind} "
+                   f"(sleeping+persistent broadphase)"),
+        "detail": detail,
+    })
+
+    # native baselines start NOW, concurrent with all TPU phases. The
+    # settled one settles adaptively to its own sleep cliff (settle=-1).
+    base_impact_p = start_cpu_baseline(bodies, settle=0,
+                                       sphere_frac=args.sphere_frac)
+    base_settled_p = start_cpu_baseline(bodies, settle=-1,
+                                        sphere_frac=args.sphere_frac)
+
+    def refresh(status: dict, tag: str):
+        """Keep _OUT current while a child runs so a parent watchdog/signal
+        emission mid-phase still carries the best number so far."""
+        if status:
+            detail[tag] = status
+
+    # Phase A: provisional headline on a small, quickly-compiled scene.
+    # Skipped when the target itself is small (nothing to stage) — and on
+    # the CPU fallback, where `bodies` is already the degraded 1024 scene.
+    prov_bodies = 2048
+    if bodies > 4096 and time_left() > 240:
+        spec = dict(bodies=prov_bodies, steps=args.steps,
+                    reference_mode=not args.no_reference_mode,
+                    sphere_frac=args.sphere_frac, long_window=0,
+                    chunks=3, max_settle_chunks=10)
+        timeout = min(540.0, 0.4 * time_left())
+        st_a, _, _ = _run_phase("pile", spec, timeout, "prov",
+                                on_poll=lambda s: refresh(s, "provisional"))
+        detail["provisional"] = st_a or None
+        v = st_a.get("steps_per_sec") or st_a.get("impact_steps_per_sec")
+        if v:
+            _OUT["value"] = v
+            _OUT["metric"] = (
+                f"PROVISIONAL steps/sec on settled {prov_bodies}-box pile "
+                f"(awaiting {bodies} headline)")
+
+    # Phase B: the real headline.
+    spec = dict(bodies=bodies, steps=args.steps,
+                reference_mode=not args.no_reference_mode,
+                sphere_frac=args.sphere_frac,
+                long_window=300 if platform.startswith("cpu") else 1000)
+    st_b, rc_b, timed_out = _run_phase(
+        "pile", spec, max(60.0, time_left() - 75.0), "head",
+        on_poll=lambda s: refresh(s, "tpu"))
+    detail["tpu"] = st_b
+
+    if (not st_b.get("steps_per_sec") and not timed_out
+            and not platform.startswith("cpu") and time_left() > 420):
+        # Pallas worker fault class (round-2 ended rc:1 this way): retry
+        # once on the XLA solver so the round still gets a real number
+        detail["tpu_failed_pallas"] = st_b
+        spec["solver"] = "xla"
+        spec["long_window"] = 0
+        st_b, rc_b, timed_out = _run_phase(
+            "pile", spec, max(60.0, time_left() - 70.0), "head_xla",
+            on_poll=lambda s: refresh(s, "tpu"))
+        detail["tpu"] = st_b
+
+    # collect the two native runs within what's left of the budget
+    base_impact = collect_cpu_baseline(base_impact_p,
+                                       max(5.0, time_left() - 40))
+    base = collect_cpu_baseline(base_settled_p, max(5.0, time_left() - 20))
+    detail.update({"cpu_baseline": base, "cpu_baseline_impact": base_impact})
+
+    # headline selection, most- to least-preferred, honestly labeled
+    if st_b.get("steps_per_sec") and st_b.get("settle_steps"):
+        _OUT["metric"] = (f"steps/sec on settled {bodies}{kind} "
+                          f"(sleeping+persistent broadphase)")
+        _OUT["value"] = st_b["steps_per_sec"]
+        if base and base.get("steps_per_sec"):
+            _OUT["vs_baseline"] = round(
+                st_b["steps_per_sec"] / base["steps_per_sec"], 3)
+    elif st_b.get("impact_steps_per_sec"):
+        _OUT["metric"] = (f"steps/sec on {bodies}{kind}, impact phase "
+                          f"(settled measurement did not complete)")
+        _OUT["value"] = st_b["impact_steps_per_sec"]
+        if base_impact and base_impact.get("steps_per_sec"):
+            _OUT["vs_baseline"] = round(
+                st_b["impact_steps_per_sec"]
+                / base_impact["steps_per_sec"], 3)
+    # else: the provisional metric/value from phase A (if any) stands.
+
+    if (st_b.get("impact_steps_per_sec") and base_impact
+            and base_impact.get("steps_per_sec")):
+        detail["vs_baseline_impact"] = round(
+            st_b["impact_steps_per_sec"] / base_impact["steps_per_sec"], 3)
+    if st_b.get("truncated"):
+        _OUT["truncated"] = st_b["truncated"]
+
+
+def _config5(args):
+    """Config-5 phases (megachunk kernel path / vbatch) with child isolation
+    and an XLA-solver fallback on the kernel path (VERDICT r4 items 1/3)."""
+    if args.megachunk:
+        spec = dict(scenes=args.scenes, scene_bodies=args.scene_bodies,
+                    steps=args.vbatch_steps,
+                    scenes_per_chunk=args.scenes_per_chunk)
+        st, rc, timed_out = _run_phase(
+            "megachunk", spec, max(60.0, time_left() * 0.55), "mega")
+        if not st.get("steps_per_sec") and time_left() > 180:
+            # TPU worker kernel-fault class: same chunked structure, XLA
+            # solver (reproducibly crashed the worker in round 4)
+            _OUT.setdefault("detail", {})["megachunk_failed"] = st
+            spec["solver"] = "xla"
+            st, rc, timed_out = _run_phase(
+                "megachunk", spec, max(60.0, time_left() - 70.0), "mega_xla")
+        label = "kernel path" if st.get("solver") == "auto" else "xla solver"
+        _OUT.update({
+            "metric": (f"body-steps/sec, {args.scenes} scenes x "
+                       f"{args.scene_bodies} bodies (mega-scene chunks, "
+                       f"{label})"),
+            "value": st.get("body_steps_per_sec"),
+            "unit": "body-steps/sec/chip",
+        })
+        _OUT.setdefault("detail", {})["megachunk"] = st
+        return
+
+    if args.vbatch:
+        spec = dict(scenes=args.scenes, scene_bodies=args.scene_bodies,
+                    steps=args.vbatch_steps)
+        st, rc, timed_out = _run_phase(
+            "vbatch", spec, max(60.0, time_left() - 70.0), "vbatch")
+        _OUT.update({
+            "metric": (f"body-steps/sec, {args.scenes} scenes x "
+                       f"{args.scene_bodies} bodies (vmap batch)"),
+            "value": st.get("body_steps_per_sec"),
+            "unit": "body-steps/sec/chip",
+            "detail": st,
+        })
+        return
+
+    if args.batch:
+        spec = dict(scenes=64, scene_bodies=512)
+        st, rc, timed_out = _run_phase(
+            "flatbatch", spec, max(60.0, time_left() - 70.0), "flat")
+        _OUT.update({
+            "metric": "body-steps/sec, flattened 64 scenes x 512 bodies",
+            "value": st.get("body_steps_per_sec"),
+            "unit": "body-steps/sec/chip",
+            "detail": st,
+        })
+        return
+
+
 def _main():
+    global _FORCED_CPU
     ap = argparse.ArgumentParser()
+    ap.add_argument("--child", default=None,
+                    help="internal: run one phase in this process")
+    ap.add_argument("--status", default=None)
+    ap.add_argument("--spec", default="{}")
     ap.add_argument("--bodies", type=int, default=None,
                     help="pile size (default: 20480 on TPU, 1024 on the "
                          "CPU fallback — a 20480 JAX-CPU settle takes hours "
@@ -499,7 +836,6 @@ def _main():
     ap.add_argument("--sphere-frac", type=float, default=0.0,
                     help="fraction of pile bodies that are spheres "
                          "(BASELINE config 3: 0.25 at 2048 bodies)")
-    ap.add_argument("--all", action="store_true")
     ap.add_argument("--batch", action="store_true")
     ap.add_argument("--vbatch", action="store_true",
                     help="config 5: stacked vmap batch (scenes x bodies)")
@@ -511,7 +847,12 @@ def _main():
     ap.add_argument("--vbatch-steps", type=int, default=25)
     args = ap.parse_args()
 
+    if args.child:
+        _child_main(args.child, args.status, json.loads(args.spec))
+        return
+
     platform = probe_backend()
+    _FORCED_CPU = platform.startswith("cpu")
     _OUT["platform"] = platform
     _OUT["budget_s"] = BUDGET_S
     if args.bodies is None:
@@ -521,115 +862,12 @@ def _main():
         # before any reasonable timeout; even 2048 needs ~1 h for its
         # ~1300-step sleep onset at JAX-CPU rates. Measure a 1024 pile
         # instead and say so in the metric string.
-        args.bodies = 20480 if not platform.startswith("cpu") else 1024
+        args.bodies = 20480 if not _FORCED_CPU else 1024
 
-    if args.megachunk:
-        r = bench_megachunks(args.scenes, args.scene_bodies,
-                             steps=args.vbatch_steps,
-                             scenes_per_chunk=args.scenes_per_chunk)
-        _OUT.update({
-            "metric": (f"body-steps/sec, {r['scenes']} scenes x "
-                       f"{args.scene_bodies} bodies (mega-scene chunks, "
-                       f"kernel path)"),
-            "value": r["body_steps_per_sec"],
-            "unit": "body-steps/sec/chip",
-            "detail": r,
-        })
+    if args.megachunk or args.vbatch or args.batch:
+        _config5(args)
         return
-
-    if args.vbatch:
-        r = bench_scene_batch(args.scenes, args.scene_bodies,
-                              steps=args.vbatch_steps)
-        _OUT.update({
-            "metric": (f"body-steps/sec, {args.scenes} scenes x "
-                       f"{args.scene_bodies} bodies (vmap batch)"),
-            "value": r["body_steps_per_sec"],
-            "unit": "body-steps/sec/chip",
-            "detail": r,
-        })
-        return
-
-    if args.batch:
-        r = bench_flat_batch(64, 512)
-        _OUT.update({
-            "metric": "body-steps/sec, flattened 64 scenes x 512 bodies",
-            "value": r["body_steps_per_sec"],
-            "unit": "body-steps/sec/chip",
-            "detail": r,
-        })
-        return
-
-    kind = ("-body mixed box+sphere pile"
-            if args.sphere_frac > 0 else "-box pile")
-    r: dict = {}
-    _OUT.update({
-        "metric": (f"steps/sec on settled {args.bodies}{kind} "
-                   f"(sleeping+persistent broadphase)"),
-        "detail": {"tpu": r, "cpu_baseline": None,
-                   "cpu_baseline_impact": None, "vs_baseline_impact": None},
-    })
-
-    # native impact baseline (settle=0) starts NOW, concurrent with the
-    # whole TPU run; the settled baseline starts once the TPU settle count
-    # is known (bench_pile sets r["_settle_steps_final"]) — we poll for it
-    # from a helper thread so the two native runs overlap the TPU
-    # measurement + long window instead of running serially after them.
-    base_impact_p = start_cpu_baseline(args.bodies, settle=0,
-                                       sphere_frac=args.sphere_frac)
-    base_settled_p: list = [None]
-
-    def _launch_settled():
-        while "_settle_steps_final" not in r and "error" not in r \
-                and time_left() > 60:
-            time.sleep(2.0)
-        settle = r.get("_settle_steps_final", r.get("settle_steps", 600))
-        base_settled_p[0] = start_cpu_baseline(
-            args.bodies, settle=settle, sphere_frac=args.sphere_frac)
-
-    lt = threading.Thread(target=_launch_settled, daemon=True)
-    lt.start()
-
-    bench_pile(args.bodies, args.steps, r,
-               reference_mode=not args.no_reference_mode,
-               long_window=300 if platform.startswith("cpu") else 1000,
-               sphere_frac=args.sphere_frac)
-    if (r.get("error") and r.get("steps_per_sec") is None
-            and not platform.startswith("cpu") and time_left() > 420):
-        # Pallas worker fault class (round-2 ended rc:1 this way): retry
-        # once on the XLA solver so the round still gets a real number
-        _OUT["detail"]["tpu_failed_pallas"] = dict(r)
-        r.clear()
-        r["solver"] = "xla (retry after kernel-path error)"
-        bench_pile(args.bodies, args.steps, r,
-                   reference_mode=not args.no_reference_mode,
-                   long_window=0, sphere_frac=args.sphere_frac,
-                   solver="xla")
-    r.pop("_settle_steps_final", None)
-    lt.join(timeout=10)
-
-    # collect the two native runs within what's left of the budget
-    base_impact = collect_cpu_baseline(base_impact_p,
-                                       max(5.0, time_left() - 40))
-    base = collect_cpu_baseline(base_settled_p[0],
-                                max(5.0, time_left() - 20))
-    vs = (round(r["steps_per_sec"] / base["steps_per_sec"], 3)
-          if base and r.get("steps_per_sec") else None)
-    vs_impact = (round(r["impact_steps_per_sec"]
-                       / base_impact["steps_per_sec"], 3)
-                 if base_impact and r.get("impact_steps_per_sec") else None)
-    _OUT["value"] = r.get("steps_per_sec")
-    _OUT["vs_baseline"] = vs
-    _OUT["detail"].update({
-        "cpu_baseline": base,
-        "cpu_baseline_impact": base_impact,
-        "vs_baseline_impact": vs_impact,
-    })
-    if "truncated" in r:
-        _OUT["truncated"] = r["truncated"]
-    if args.all and time_left() > 300:
-        _OUT["detail"]["pile_2048"] = bench_pile(2048, args.steps, {})
-        if time_left() > 200:
-            _OUT["detail"]["vbatch_256x512"] = bench_scene_batch(256, 512)
+    _headline_pile(args, platform)
 
 
 if __name__ == "__main__":

@@ -766,7 +766,31 @@ int main(int argc, char** argv) {
   }
 
   WarmCache cache;
-  for (int s=0; s<settle; s++) step(w, cache);
+  int settled_steps = 0;
+  if (settle >= 0) {
+    for (int s=0; s<settle; s++) step(w, cache);
+    settled_steps = settle;
+  } else {
+    // adaptive settle (settle = -1): step in chunks until the awake count
+    // plateaus — the same rule as the TPU bench (bench.py bench_pile), so
+    // the settled comparison is steady-state vs steady-state instead of
+    // joining the native run mid-sleep-onset (VERDICT r4 weak #6: at a
+    // fixed settle=3300 the native pile was still 86% awake and paying
+    // full solver cost).
+    const int chunk = 120;
+    int prev = -1, flat = 0;
+    for (int c = 0; c < 80; c++) {
+      for (int s = 0; s < chunk; s++) step(w, cache);
+      settled_steps += chunk;
+      int aw = 0;
+      for (int i = 1; i < w.n; i++)
+        if (w.inv_mass[i] > 0 && w.awake[i]) aw++;
+      bool onset = aw < (int)(0.9 * n);
+      flat = (onset && prev >= 0 && aw >= prev) ? flat + 1 : 0;
+      prev = aw;
+      if (aw == 0 || flat >= 2) break;
+    }
+  }
 
   auto t0 = std::chrono::steady_clock::now();
   for (int s=0; s<steps; s++) step(w, cache);
@@ -781,7 +805,9 @@ int main(int argc, char** argv) {
   }
   printf("{\"engine\": \"nudge_ref_cpp\", \"bodies\": %d, \"steps\": %d, "
          "\"steps_per_sec\": %.2f, \"body_steps_per_sec\": %.0f, "
-         "\"max_y\": %.2f, \"awake\": %d, \"finite\": %s}\n",
-         n, steps, steps/dt, n*steps/dt, maxy, awake, finite ? "true" : "false");
+         "\"max_y\": %.2f, \"awake\": %d, \"settle_steps\": %d, "
+         "\"finite\": %s}\n",
+         n, steps, steps/dt, n*steps/dt, maxy, awake, settled_steps,
+         finite ? "true" : "false");
   return 0;
 }

@@ -520,8 +520,6 @@ def scene_pile_stacked(n_scenes: int, bodies_per_scene: int,
     pile and broadcasts it, then decorrelates the scenes with per-scene
     position/orientation jitter on the dynamic bodies — one upload per leaf.
     Returns (batched SimState, cfg)."""
-    import jax
-
     b = scene_pile(bodies_per_scene, sphere_frac=sphere_frac, seed=seed)
     if cfg is None:
         cfg = b.auto_config()

@@ -27,6 +27,11 @@ def _flatten(state):
 
 
 def save(path: str, state) -> None:
+    import os
+
+    parent = os.path.dirname(str(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)   # np.savez won't create dirs
     arrays, _ = _flatten(state)
     np.savez(path, **arrays)
 

@@ -79,6 +79,10 @@ def probe(st, cfg):
 
 
 def run(n, chunks, ckpt_dir=None, **over):
+    # `steps` is a script knob (chunk size), not a SimConfig field — pop it
+    # before auto_config (ADVICE r4: the battery passed steps=100 and the
+    # run died on SimConfig(**kw) TypeError before the first chunk).
+    steps = int(over.pop("steps", 100))
     b = scene_pile(n, seed=3)
     kw = dict(max_box_box_pairs=8 * n, max_manifolds=3 * n,
               grid_density=16, fat_pair_factor=2)
@@ -87,10 +91,10 @@ def run(n, chunks, ckpt_dir=None, **over):
     st = b.finalize(cfg)
     g = 9.81
     for chunk in range(chunks):
-        st, m = simulate(st, cfg, 100)
+        st, m = simulate(st, cfg, steps)
         if ckpt_dir:
             from nudge_tpu.utils import checkpoint as _ck
-            _ck.save(f"{ckpt_dir}/pile{n}_step{100 * (chunk + 1)}.npz", st)
+            _ck.save(f"{ckpt_dir}/pile{n}_step{steps * (chunk + 1)}.npz", st)
         pos = np.asarray(st.bodies.pos)
         v = np.asarray(st.bodies.vel)
         inv_m = np.asarray(st.bodies.inv_mass)
@@ -100,7 +104,7 @@ def run(n, chunks, ckpt_dir=None, **over):
         pe = float((mass * g * pos[:, 1])[dyn].sum())
         speed = np.linalg.norm(v, axis=-1)
         conf, hits, valid, ncol = probe(st, cfg)
-        print(f"steps={100*(chunk+1):5d} ke={ke:10.2f} pe={pe:12.2f} "
+        print(f"steps={steps*(chunk+1):5d} ke={ke:10.2f} pe={pe:12.2f} "
               f"etot={ke+pe:12.2f} "
               f"depth={float(np.asarray(m.max_depth)[-1]):.4f} "
               f"vmax={speed.max():7.2f} nfast={(speed > 1).sum():5d} "
