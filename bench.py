@@ -722,10 +722,15 @@ def _headline_pile(args, platform: str):
     detail["tpu"] = st_b
 
     if (not st_b.get("steps_per_sec") and not timed_out
-            and not platform.startswith("cpu") and time_left() > 420):
-        # Pallas worker fault class (round-2 ended rc:1 this way): retry
-        # once on the XLA solver so the round still gets a real number
-        detail["tpu_failed_pallas"] = st_b
+            and not platform.startswith("cpu") and time_left() > 420
+            and bodies <= 4096):
+        # Solver-path fallback, SMALL scenes only: the round-5 bisect showed
+        # the XLA setup+solve branch itself crashes the TPU worker at
+        # 16,385+ bodies (deterministic) while the Pallas kernel path is
+        # clean to 33k — so an XLA retry at the 20,480 headline would make
+        # things WORSE (worker kill + 10-20 min relay blackout). Above the
+        # gate the provisional phase-A number is the honest degradation.
+        detail["tpu_failed_kernel_path"] = st_b
         spec["solver"] = "xla"
         spec["long_window"] = 0
         st_b, rc_b, timed_out = _run_phase(
@@ -775,13 +780,16 @@ def _config5(args):
         st, rc, timed_out = _run_phase(
             "megachunk", spec, max(60.0, time_left() * 0.55), "mega")
         if not st.get("steps_per_sec") and time_left() > 180:
-            # TPU worker kernel-fault class: same chunked structure, XLA
-            # solver (reproducibly crashed the worker in round 4)
+            # Fallback: HALVE the chunk size, keep the kernel path. (The
+            # former solver="xla" fallback is exactly wrong at these chunk
+            # sizes — the XLA branch is the component that crashes the
+            # worker at 16k+ bodies; round-5 bisect.)
             _OUT.setdefault("detail", {})["megachunk_failed"] = st
-            spec["solver"] = "xla"
+            spec["scenes_per_chunk"] = max(8, spec["scenes_per_chunk"] // 2)
             st, rc, timed_out = _run_phase(
-                "megachunk", spec, max(60.0, time_left() - 70.0), "mega_xla")
-        label = "kernel path" if st.get("solver") == "auto" else "xla solver"
+                "megachunk", spec, max(60.0, time_left() - 70.0),
+                "mega_small")
+        label = (f"kernel path, {st.get('scenes_per_chunk')} scenes/chunk")
         _OUT.update({
             "metric": (f"body-steps/sec, {args.scenes} scenes x "
                        f"{args.scene_bodies} bodies (mega-scene chunks, "

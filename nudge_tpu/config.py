@@ -47,6 +47,17 @@ class SimConfig:
     # --- solver (SURVEY C10/C11) ---
     solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
     solver: str = "auto"            # auto | xla | pallas | pallas_interpret (M5)
+    # Hard ceiling for the XLA-solver branch on TPU (round-5 bisect): the
+    # pure-XLA setup+solve program crashes the TPU worker outright — not an
+    # exception, a worker kill with 10-20 min relay blackout — on developed
+    # contact sets at 16,385+ bodies (pile20480/pile24576/pile32768 and
+    # 32x512/64x512 mega-scenes all reproduce; 2,048 is clean; the Pallas
+    # kernel path is clean to 33k, fault_probe.py). Until the underlying
+    # XLA codegen fault is found, the engine refuses at TRACE time to build
+    # an XLA-solver step above this body count on TPU — a loud Python error
+    # beats a dead worker. Raise only after probing new hardware/libtpu
+    # (scripts/kernel_smoke.py warmonly units).
+    xla_solver_max_bodies: int = 8192
     max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
     # reuse last frame's conflict-free coloring via a (ga,gb) join; only new
     # manifolds run greedy rounds (settled scenes: zero rounds). Off = fresh

@@ -35,9 +35,25 @@ def _use_kernels(cfg: SimConfig, n_bodies: int) -> bool:
     # Pallas kernels carry no VJP rule: differentiable rollouts must ride
     # the XLA path even on TPU (forcing solver="pallas" remains an explicit
     # override that fails loudly under jax.grad).
-    return (cfg.solver == "auto" and not cfg.differentiable
-            and jax.default_backend() == "tpu"
-            and kernel_fits(cfg, n_bodies))
+    use = (cfg.solver == "auto" and not cfg.differentiable
+           and jax.default_backend() == "tpu"
+           and kernel_fits(cfg, n_bodies))
+    if (not use and jax.default_backend() == "tpu"
+            and n_bodies > cfg.xla_solver_max_bodies):
+        # Round-5 bisect: the XLA setup+solve program at this scale crashes
+        # the TPU worker on developed contact sets (deterministic; see
+        # SimConfig.xla_solver_max_bodies). Fail loudly at trace time
+        # instead of killing the worker and blacking out the relay.
+        raise RuntimeError(
+            f"XLA-solver step at n={n_bodies} bodies exceeds "
+            f"xla_solver_max_bodies={cfg.xla_solver_max_bodies} on TPU: "
+            "this program class crashes the TPU worker (round-5 bisect, "
+            "scripts/results.jsonl r5_fault_bisect). Use solver='auto' "
+            "with kernel-compatible capacities, shrink the scene/chunk, "
+            "or raise cfg.xla_solver_max_bodies after probing this "
+            "hardware with scripts/kernel_smoke.py."
+        )
+    return use
 
 
 @struct.dataclass

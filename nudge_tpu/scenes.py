@@ -138,6 +138,40 @@ class SceneBuilder:
             max_connections=len(self.connections),
         )
         kw.update(overrides)
+        if "grid_table_dims" not in kw and self.pos:
+            # The dense grid table must COVER the spawn footprint. When it
+            # doesn't, every out-of-extent collider clamps into a border
+            # cell; at mega-scene extents (scene_pile_batch: 8x8 scenes at
+            # tens of meters spacing vs a ~128-cell table) that concentrates
+            # tens of thousands of colliders into a handful of cells and
+            # drives the XLA collide program into a regime that crashed the
+            # TPU worker outright (round-5 bisect: a pure-XLA warmup with no
+            # Pallas faulted at mega64x512; the collide program alone wedged
+            # >900s). Estimate the runtime cell size conservatively from the
+            # builder's collider geometry (grid.py derives cell = 2*max
+            # non-big AABB extent) and grow the table beyond the default
+            # only when the footprint needs it — existing pile scenes keep
+            # the default dims bit-for-bit (no compile-cache churn).
+            halfdiags = [float(np.linalg.norm(h_)) for h_ in self.box_half]
+            halfdiags += [float(r) for r in self.sph_radius]
+            if halfdiags:
+                med = float(np.median(halfdiags))
+                non_big = [h_ for h_ in halfdiags if h_ <= 2.0 * med]
+                cell_est = 2.0 * (max(non_big) if non_big else med)
+                cell_est = max(cell_est, 1e-3)
+                pos = np.asarray(self.pos, np.float32)
+                span = pos.max(axis=0) - pos.min(axis=0)
+                dims0 = SimConfig().grid_table_dims
+                # slack 1.15 + 4 cells: cell_est excludes the AABB margin so
+                # it already underestimates the runtime cell (overestimating
+                # need); the mean-anchored re-base + border clamping degrade
+                # gracefully for small residual excursions
+                need = [int(np.ceil(s / cell_est * 1.15)) + 4 for s in span]
+                dims = tuple(
+                    min(1024, -(-max(d, n_) // 8) * 8)
+                    for d, n_ in zip(dims0, need))
+                if dims != dims0:
+                    kw["grid_table_dims"] = dims
         if "max_lin_vel" not in kw:
             # tunneling armor (SimConfig.max_lin_vel): 1.25x the larger of
             # the scene's free-fall ceiling and its fastest spawned body —
@@ -385,7 +419,7 @@ def scene_pyramid(base: int = 10, half: float = 0.5, gap: float = 1e-3):
 
 def scene_pile_batch(n_scenes: int, bodies_per_scene: int,
                      sphere_frac: float = 0.0, half: float = 0.5,
-                     seed: int = 0, scene_spacing: float = 60.0):
+                     seed: int = 0, scene_spacing: float = 20.0):
     """BASELINE config 5 as ONE flattened mega-scene: `n_scenes` independent
     piles tiled far apart on a 2D grid (block-diagonal contact graph).
 

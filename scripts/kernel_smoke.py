@@ -66,7 +66,11 @@ def build_scene(name: str, solver: str):
     cfg = b.auto_config(
         max_box_box_pairs=max(1024, int(n * 8.0)),
         max_manifolds=max(512, int(n * 3.0)),
-        grid_density=16, fat_pair_factor=2, solver=solver)
+        grid_density=16, fat_pair_factor=2, solver=solver,
+        # this script IS the designated hardware prober: bypass the
+        # trace-time XLA-scale guard so warmonly-xla probes measure the
+        # hardware, not the guard (engine._use_kernels raise)
+        xla_solver_max_bodies=1 << 30)
     return b.finalize(cfg), cfg, n
 
 
@@ -87,7 +91,8 @@ def _timeit(fn, *args, reps):
     return float(np.median(ts)), compile_s
 
 
-def child(scene: str, unit: str, warm_steps: int, reps: int):
+def child(scene: str, unit: str, warm_steps: int, reps: int,
+          warm_solver: str = "xla"):
     global jax
     import jax
     import numpy as np
@@ -103,7 +108,7 @@ def child(scene: str, unit: str, warm_steps: int, reps: int):
     from nudge_tpu.ops.solver_kernel import pack_solver_inputs, solve_packed
 
     t_all = time.perf_counter()
-    st, cfg_xla, n = build_scene(scene, solver="xla")
+    st, cfg_xla, n = build_scene(scene, solver=warm_solver)
     # warm up on the XLA path so the probe state has realistic contacts and
     # the unit under test is the ONLY Pallas code that runs in this process.
     # ("collideonly" skips the warmup: it probes the XLA broadphase +
@@ -194,12 +199,18 @@ def main():
     ap.add_argument("--timeout", type=float, default=700.0)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--warm-steps", type=int, default=30)
+    ap.add_argument("--warm-solver", default="xla",
+                    help="solver for the warmup simulate: 'xla' isolates "
+                         "the unit from all Pallas code; 'auto' runs the "
+                         "production kernel path (use with unit=warmonly to "
+                         "probe the full engine at a shape)")
     ap.add_argument("--tag", default="kernel_smoke")
     ap.add_argument("--no-ledger", action="store_true")
     args = ap.parse_args()
 
     if args.child:
-        child(args.child[0], args.child[1], args.warm_steps, args.reps)
+        child(args.child[0], args.child[1], args.warm_steps, args.reps,
+              warm_solver=args.warm_solver)
         return
 
     date = time.strftime("%Y-%m-%d")
