@@ -276,6 +276,13 @@ class StatusDict(dict):
         self._flush()
         return v
 
+    def setdefault(self, k, default=None):
+        # dict.setdefault mutates at the C level without __setitem__ — an
+        # unflushed child error is exactly what this class must not lose
+        v = super().setdefault(k, default)
+        self._flush()
+        return v
+
     def clear(self):
         super().clear()
         self._flush()
@@ -479,23 +486,42 @@ def bench_scene_batch(n_scenes: int, bodies: int, r: dict, steps: int = 25):
     n_chunks = max(1, n_scenes // 256)
     r.update({"scenes": n_scenes, "bodies_per_scene": bodies,
               "chunks": n_chunks, "upload_done": True})
-    sim = batched_simulate_chunked(cfg, steps, n_chunks)
-    _phase("vbatch: batch on device; compiling/running first sim call")
+    # execution-deadline safety: bound each call's on-device time (see
+    # bench_megachunks — programs running >~5 min kill the TPU worker;
+    # round 4's vbatch died exactly this way in its first call)
+    chunk_bodies = (n_scenes // n_chunks) * (bodies + 1)
+    est_chunk_step_s = 4e-6 * chunk_bodies
+    k = max(1, min(steps, int(150.0 / (n_chunks * est_chunk_step_s))))
+    sim = batched_simulate_chunked(cfg, k, n_chunks)
+    n_calls = max(2, -(-steps // k) + 1)
+    r["steps_per_call"] = k
+    _phase(f"vbatch: batch on device; compiling/running first sim call "
+           f"({k} steps/call)")
     dt = None
     m = None
-    for i in range(3):
+    done_steps = 0
+    for i in range(n_calls):
         t0 = time.perf_counter()
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
-        _phase(f"vbatch: sim call {i} done in {dt:.1f}s")
+        _phase(f"vbatch: sim call {i} ({k} steps) done in {dt:.1f}s")
         r[f"call{i}_s"] = round(dt, 1)
+        if i >= 1:
+            done_steps += k
         if i >= 1 and time_left() < 60 + dt * 1.5:
             break
+        if i == 0:
+            t_meas0 = time.perf_counter()
     m = jax.tree.map(np.asarray, m)
+    if done_steps:
+        meas_s = time.perf_counter() - t_meas0
+        r.update({
+            "steps_per_sec": round(done_steps / meas_s, 3),
+            "body_steps_per_sec": round(
+                done_steps / meas_s * n_scenes * bodies),
+        })
     r.update({
-        "steps_per_sec": round(steps / dt, 3),
-        "body_steps_per_sec": round(steps / dt * n_scenes * bodies),
         "contacts_mean": float(m.contact_count.mean()),
         "overflow": bool(m.overflow.any()),
     })
@@ -525,24 +551,44 @@ def bench_megachunks(n_scenes: int, bodies: int, r: dict, steps: int = 25,
     r.update({"scenes": n_chunks * spc, "bodies_per_scene": bodies,
               "chunks": n_chunks, "scenes_per_chunk": spc,
               "solver": solver or "auto", "upload_done": True})
-    sim = megabatch_simulate(cfg, steps)
-    _phase("megachunk: batch on device; compiling/running first sim call")
+    # Execution-deadline safety (round-5 finding): a single on-device
+    # program running longer than ~5 min gets the TPU worker killed
+    # ("crashed or restarted") — which is how every full-scale config-5
+    # attempt died (128 chunks x 25 steps x ~0.15 s/chunk-step ≈ 450 s in
+    # ONE sim call). Bound each call's chunk-step volume by a measured
+    # per-chunk-step estimate and loop the SAME compiled program.
+    est_chunk_step_s = 9e-6 * (spc * bodies + 1)
+    k = max(1, min(steps, int(150.0 / (n_chunks * est_chunk_step_s))))
+    sim = megabatch_simulate(cfg, k)
+    n_calls = max(2, -(-steps // k) + 1)     # first call includes compile
+    r["steps_per_call"] = k
+    _phase(f"megachunk: batch on device; compiling/running first sim call "
+           f"({k} steps/call)")
     dt = None
     m = None
-    for i in range(3):
+    done_steps = 0
+    for i in range(n_calls):
         t0 = time.perf_counter()
         batch, m = sim(batch)
         np.asarray(batch.bodies.pos[0, 0])
         dt = time.perf_counter() - t0
-        _phase(f"megachunk: sim call {i} done in {dt:.1f}s")
+        _phase(f"megachunk: sim call {i} ({k} steps) done in {dt:.1f}s")
         r[f"call{i}_s"] = round(dt, 1)
+        if i >= 1:
+            done_steps += k              # timed calls exclude the compile
         if i >= 1 and time_left() < 60 + dt * 1.5:
             break
+        if i == 0:
+            t_meas0 = time.perf_counter()
     m = jax.tree.map(np.asarray, m)
     total_bodies = n_chunks * spc * bodies
+    if done_steps:
+        meas_s = time.perf_counter() - t_meas0
+        r.update({
+            "steps_per_sec": round(done_steps / meas_s, 3),
+            "body_steps_per_sec": round(done_steps / meas_s * total_bodies),
+        })
     r.update({
-        "steps_per_sec": round(steps / dt, 3),
-        "body_steps_per_sec": round(steps / dt * total_bodies),
         "contacts_mean": float(m.contact_count.mean()),
         "overflow": bool(m.overflow.any()),
     })
@@ -582,6 +628,8 @@ def _child_main(kind: str, status_path: str, spec: dict) -> None:
             r["error"] = f"unknown child kind {kind!r}"
             sys.exit(2)
     except Exception as e:                       # noqa: BLE001
+        import traceback
+        traceback.print_exc()                    # parent log keeps the trace
         r.setdefault("error", f"{type(e).__name__}: {e}"[:500])
         sys.exit(3)
     sys.exit(0)

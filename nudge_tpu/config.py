@@ -47,16 +47,19 @@ class SimConfig:
     # --- solver (SURVEY C10/C11) ---
     solver_iters: int = 20          # reference demo uses ~20 velocity iterations [MED]
     solver: str = "auto"            # auto | xla | pallas | pallas_interpret (M5)
-    # Hard ceiling for the XLA-solver branch on TPU (round-5 bisect): the
-    # pure-XLA setup+solve program crashes the TPU worker outright — not an
-    # exception, a worker kill with 10-20 min relay blackout — on developed
-    # contact sets at 16,385+ bodies (pile20480/pile24576/pile32768 and
-    # 32x512/64x512 mega-scenes all reproduce; 2,048 is clean; the Pallas
-    # kernel path is clean to 33k, fault_probe.py). Until the underlying
-    # XLA codegen fault is found, the engine refuses at TRACE time to build
-    # an XLA-solver step above this body count on TPU — a loud Python error
-    # beats a dead worker. Raise only after probing new hardware/libtpu
-    # (scripts/kernel_smoke.py warmonly units).
+    # Ceiling for the XLA-solver branch on TPU (round-5 bisect, final
+    # diagnosis): the TPU worker kills ANY single program execution running
+    # longer than ~3-5 minutes — the kill reports as "worker crashed /
+    # kernel fault" and blacks out the relay for 10-20 min. The XLA
+    # setup+solve branch is slow at scale (multi-second steps at 16k+
+    # bodies), so ordinary 30-100-step scan windows cross that deadline and
+    # get the worker killed; the Pallas kernel path at the same shapes is
+    # ~10-50x faster per step and stays far under it. (Proof the code is
+    # innocent: a CLEAN pile2048-XLA program also kills the worker when
+    # asked for one 4,000-step scan.) The engine therefore refuses at TRACE
+    # time to build an XLA-solver step above this body count on TPU — a
+    # loud Python error beats a dead worker. Callers that bound their
+    # per-call step counts can raise it (scripts/kernel_smoke.py probes do).
     xla_solver_max_bodies: int = 8192
     max_colors: int = 24            # greedy contact coloring rounds (SURVEY §7 M3)
     # reuse last frame's conflict-free coloring via a (ga,gb) join; only new

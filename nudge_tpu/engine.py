@@ -40,18 +40,21 @@ def _use_kernels(cfg: SimConfig, n_bodies: int) -> bool:
            and kernel_fits(cfg, n_bodies))
     if (not use and jax.default_backend() == "tpu"
             and n_bodies > cfg.xla_solver_max_bodies):
-        # Round-5 bisect: the XLA setup+solve program at this scale crashes
-        # the TPU worker on developed contact sets (deterministic; see
-        # SimConfig.xla_solver_max_bodies). Fail loudly at trace time
-        # instead of killing the worker and blacking out the relay.
+        # Round-5 bisect: the TPU worker kills any single program execution
+        # past ~3-5 min (reported as "worker crashed / kernel fault" + a
+        # 10-20 min relay blackout), and the XLA solve branch at this scale
+        # is slow enough that ordinary scan windows cross that deadline.
+        # Fail loudly at trace time instead (SimConfig.xla_solver_max_bodies).
         raise RuntimeError(
             f"XLA-solver step at n={n_bodies} bodies exceeds "
             f"xla_solver_max_bodies={cfg.xla_solver_max_bodies} on TPU: "
-            "this program class crashes the TPU worker (round-5 bisect, "
+            "the XLA branch at this scale is slow enough that normal "
+            "multi-step windows exceed the TPU worker's ~5-min execution "
+            "deadline and get the worker killed (round-5 bisect, "
             "scripts/results.jsonl r5_fault_bisect). Use solver='auto' "
             "with kernel-compatible capacities, shrink the scene/chunk, "
-            "or raise cfg.xla_solver_max_bodies after probing this "
-            "hardware with scripts/kernel_smoke.py."
+            "or raise cfg.xla_solver_max_bodies and keep per-call step "
+            "counts small."
         )
     return use
 
