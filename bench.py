@@ -491,7 +491,7 @@ def bench_scene_batch(n_scenes: int, bodies: int, r: dict, steps: int = 25):
     # round 4's vbatch died exactly this way in its first call)
     chunk_bodies = (n_scenes // n_chunks) * (bodies + 1)
     est_chunk_step_s = 4e-6 * chunk_bodies
-    k = max(1, min(steps, int(150.0 / (n_chunks * est_chunk_step_s))))
+    k = max(1, min(steps, int(60.0 / (n_chunks * est_chunk_step_s))))
     sim = batched_simulate_chunked(cfg, k, n_chunks)
     n_calls = max(2, -(-steps // k) + 1)
     r["steps_per_call"] = k
@@ -558,7 +558,7 @@ def bench_megachunks(n_scenes: int, bodies: int, r: dict, steps: int = 25,
     # ONE sim call). Bound each call's chunk-step volume by a measured
     # per-chunk-step estimate and loop the SAME compiled program.
     est_chunk_step_s = 9e-6 * (spc * bodies + 1)
-    k = max(1, min(steps, int(150.0 / (n_chunks * est_chunk_step_s))))
+    k = max(1, min(steps, int(60.0 / (n_chunks * est_chunk_step_s))))
     sim = megabatch_simulate(cfg, k)
     n_calls = max(2, -(-steps // k) + 1)     # first call includes compile
     r["steps_per_call"] = k
@@ -702,6 +702,31 @@ def _run_phase(kind: str, spec: dict, timeout_s: float, tag: str,
     return st, rc, timed_out
 
 
+def _wait_relay(max_s: float, after: dict | None = None) -> bool:
+    """After a TPU worker kill the relay refuses new clients for 10-20 min
+    (round-5 bisect) — a fallback phase launched straight into the blackout
+    dies as collateral. When the previous phase shows the crash signature,
+    poll device discovery in bounded subprocesses until it answers (or the
+    budget says stop). Returns True when the relay answered."""
+    if after is not None and "crashed or restarted" not in str(
+            after.get("error", "")):
+        return True
+    deadline = time.monotonic() + max_s
+    probes = 0
+    while time.monotonic() < deadline and time_left() > 120:
+        probes += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, capture_output=True, timeout=30)
+            _phase(f"relay recovered after {probes} probes")
+            return True
+        except Exception:                        # noqa: BLE001
+            time.sleep(30)
+    _phase(f"relay still dark after {probes} probes")
+    return False
+
+
 def main():
     try:
         _main()
@@ -759,7 +784,12 @@ def _headline_pile(args, platform: str):
                 f"PROVISIONAL steps/sec on settled {prov_bodies}-box pile "
                 f"(awaiting {bodies} headline)")
 
-    # Phase B: the real headline.
+    # Phase B: the real headline. If phase A ended in a worker kill, wait
+    # out the relay blackout first (round-5: a phase launched into the
+    # blackout dies as collateral).
+    if detail.get("provisional"):
+        _wait_relay(max(60.0, time_left() - 900.0),
+                    after=detail["provisional"])
     spec = dict(bodies=bodies, steps=args.steps,
                 reference_mode=not args.no_reference_mode,
                 sphere_frac=args.sphere_frac,
@@ -831,8 +861,11 @@ def _config5(args):
             # Fallback: HALVE the chunk size, keep the kernel path. (The
             # former solver="xla" fallback is exactly wrong at these chunk
             # sizes — the XLA branch is the component that crashes the
-            # worker at 16k+ bodies; round-5 bisect.)
+            # worker at 16k+ bodies; round-5 bisect.) If the first phase
+            # died on a worker kill, wait out the relay blackout first or
+            # the fallback dies as collateral.
             _OUT.setdefault("detail", {})["megachunk_failed"] = st
+            _wait_relay(max(60.0, time_left() - 600.0), after=st)
             spec["scenes_per_chunk"] = max(8, spec["scenes_per_chunk"] // 2)
             st, rc, timed_out = _run_phase(
                 "megachunk", spec, max(60.0, time_left() - 70.0),
