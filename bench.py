@@ -368,7 +368,13 @@ def bench_pile(n_bodies: int, steps: int, r: dict, chunks: int = 5,
                 chunk_cost = (time.perf_counter() - t0) * steps / s
                 settle_steps += s
                 r.update({"settle_steps": settle_steps, "awake": aw})
-                onset = aw < 0.9 * n_bodies
+                # A plateau only counts deep in the sleep regime (< 25%
+                # awake): mid-settle avalanche pauses produce flat awake
+                # counts at 40%+ awake, and stopping there measures a
+                # transient (round-5 rehearsal: settle halted at awake
+                # 8,968/20,480 and reported 3.1 steps/s where the true
+                # steady state is ~2k awake at ~6.8 steps/s).
+                onset = aw < 0.25 * n_bodies
                 flat = flat + 1 if (onset and prev is not None
                                     and aw >= prev) else 0
                 prev = aw
@@ -772,8 +778,8 @@ def _headline_pile(args, platform: str):
         spec = dict(bodies=prov_bodies, steps=args.steps,
                     reference_mode=not args.no_reference_mode,
                     sphere_frac=args.sphere_frac, long_window=0,
-                    chunks=3, max_settle_chunks=10)
-        timeout = min(540.0, 0.4 * time_left())
+                    chunks=2, max_settle_chunks=6)
+        timeout = min(480.0, 0.4 * time_left())
         st_a, _, _ = _run_phase("pile", spec, timeout, "prov",
                                 on_poll=lambda s: refresh(s, "provisional"))
         detail["provisional"] = st_a or None
@@ -824,12 +830,19 @@ def _headline_pile(args, platform: str):
 
     # headline selection, most- to least-preferred, honestly labeled
     if st_b.get("steps_per_sec") and st_b.get("settle_steps"):
+        # the long window (1,000 extra steps at the settled state, dispatch
+        # amortized over 100-step chunks) is the best steady-state sample
+        # when it completed: the pile keeps quiescing through it (r5 clean
+        # rehearsal: 3.6 steps/s right after settle -> 6.95 over the long
+        # window). The short-window number stays in detail.
+        v = st_b.get("steps_per_sec_long_window") or st_b["steps_per_sec"]
+        lw = " (long-window)" if st_b.get("steps_per_sec_long_window") \
+            else ""
         _OUT["metric"] = (f"steps/sec on settled {bodies}{kind} "
-                          f"(sleeping+persistent broadphase)")
-        _OUT["value"] = st_b["steps_per_sec"]
+                          f"(sleeping+persistent broadphase){lw}")
+        _OUT["value"] = v
         if base and base.get("steps_per_sec"):
-            _OUT["vs_baseline"] = round(
-                st_b["steps_per_sec"] / base["steps_per_sec"], 3)
+            _OUT["vs_baseline"] = round(v / base["steps_per_sec"], 3)
     elif st_b.get("impact_steps_per_sec"):
         _OUT["metric"] = (f"steps/sec on {bodies}{kind}, impact phase "
                           f"(settled measurement did not complete)")

@@ -785,7 +785,10 @@ int main(int argc, char** argv) {
       int aw = 0;
       for (int i = 1; i < w.n; i++)
         if (w.inv_mass[i] > 0 && w.awake[i]) aw++;
-      bool onset = aw < (int)(0.9 * n);
+      // plateau counts only deep in the sleep regime (< 25% awake):
+      // mid-settle avalanche pauses read as flat counts much earlier
+      // (same rule as bench.py's TPU-side settle)
+      bool onset = aw < (int)(0.25 * n);
       flat = (onset && prev >= 0 && aw >= prev) ? flat + 1 : 0;
       prev = aw;
       if (aw == 0 || flat >= 2) break;

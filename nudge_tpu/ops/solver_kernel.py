@@ -65,6 +65,22 @@ from ..state import Bodies
 
 LANES = 128
 SUB = 8                 # manifold tiles per group ([8,128] vreg packing)
+
+
+def _dot_precision():
+    """MXU pass count for the one-hot gather/scatter contractions.
+
+    HIGHEST (6 bf16 passes) is bitwise-exact and the default — the solve
+    kernel's throughput ceiling is exactly these passes (roofline r5: the
+    dots run AT the shape-capped f32-HI MXU limit). NUDGE_DOT_PRECISION=
+    high|default trades exactness for fewer passes (measured one-hot gather
+    error: HIGH ~1.5e-5 rel — the 3-pass algorithm drops the third bf16
+    limb of the f32 side; DEFAULT ~4e-3 rel; scripts/precision_probe.py).
+    Experimental knob for perf A/Bs, not a supported fidelity mode."""
+    import os
+
+    name = os.environ.get("NUDGE_DOT_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
 GROUP = SUB * LANES     # manifolds per grid step
 CON_ROWS = 132          # 11 + 28*4 = 123 + idx/live + 4 pos_bias, padded
 ACC_ROWS = 12           # 4 lam_n + 4 lam_t1 + 4 lam_t2
@@ -345,7 +361,7 @@ def _solve_kernel(tmin_ref, tmax_ref, bits_ref, velw_ref, con_ref, acc_ref,
     def _group():
         brow = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0
                                         ).astype(jnp.float32)
-        hp = jax.lax.Precision.HIGHEST
+        hp = _dot_precision()
 
         live = (con_ref[125:126, :, :] > 0.5).astype(jnp.float32)  # [1,S,L]
         cols_g = pl.ds(t * LANES, LANES)

@@ -62,16 +62,15 @@ def test_mixed_pile_settles_kernel_path():
     NaN and spheres rest at positive height."""
     b = scene_pile(64, sphere_frac=0.5, seed=11)
     cfg = b.auto_config(solver="pallas_interpret")
-    st, m = simulate(b.finalize(cfg), cfg, 200)
+    st, m = simulate(b.finalize(cfg), cfg, 300)
     pos = np.asarray(st.bodies.pos)
     dyn = np.asarray(st.bodies.dynamic)       # excludes capacity padding
     assert np.isfinite(pos).all()
     assert pos[dyn, 1].min() > 0.2
-    # settling gate: rigid spheres have no rolling resistance in this model
-    # (upstream's too — BASELINE.md round-2), so a 200-step mixed pile still
-    # carries a few units of rolling KE; assert strong decay from the impact
-    # peak plus a bound with headroom over that residual (was <50.0, which a
-    # clean run grazed at 53 — a threshold artifact, not a physics change).
+    # settling gate: rolling spheres (no rolling resistance in this model,
+    # upstream's too — BASELINE.md round-2) make the mixed pile's settle a
+    # long transient: measured KE-at-end 79.7 -> 53.1 -> 5.9 at 100/200/300
+    # steps (deterministic). 200 steps sat mid-transient and the old <50.0
+    # gate grazed it; at 300 the pile is quiescent with margin.
     ke = np.asarray(m.kinetic_energy)
-    assert float(ke[-1]) < 0.2 * float(ke.max())
-    assert float(ke[-1]) < 120.0
+    assert float(ke[-1]) < 20.0
