@@ -245,9 +245,22 @@ def main():
                 with open(RESULTS, "a") as f:
                     f.write(json.dumps(row) + "\n")
             if not row.get("ok") and "crash" in str(row.get("error", "")).lower():
-                print("# worker crash signature; sleeping 90s for recovery",
+                # a worker kill blacks out the relay for 10-20+ min; a fixed
+                # sleep is not enough (round-5: one kill cascaded through
+                # every remaining pile20480 unit at ~80 s each — all clean
+                # in isolation afterwards). Probe until the relay answers.
+                print("# worker crash signature; probing for relay recovery",
                       flush=True)
-                time.sleep(90)
+                for _ in range(50):
+                    try:
+                        subprocess.run(
+                            [sys.executable, "-c",
+                             "import jax; jax.devices()"],
+                            check=True, capture_output=True, timeout=30)
+                        print("# relay recovered", flush=True)
+                        break
+                    except Exception:            # noqa: BLE001
+                        time.sleep(30)
 
 
 if __name__ == "__main__":
